@@ -1,0 +1,432 @@
+"""Vectorized Montgomery field arithmetic over int32 limb planes (JAX).
+
+TPU-native re-design of the reference's Wasm field kernels
+(wasm/field-arithmetic.ts, wasm/multiply-montgomery.ts, wasm/inverse.ts,
+wasm/exp.ts, field-sqrt.ts). Differences from the reference are deliberate
+(SURVEY.md §7.1):
+
+- SoA limb planes int32[(n, N)] — every op vectorizes over N points; the limb
+  loop is the *outer*, short loop.
+- Limb size w re-derived for 32-bit accumulators: products of w-bit limbs are
+  < 2^(2w), and a full CIOS row adds 2 products per container, so
+  rows_between_carries = 2^(30-2w). At the default w=12 an entire 32-limb
+  Montgomery multiply runs with NO intermediate carries (the analog of the
+  reference's deferred-carry schedule, wasm/multiply-montgomery.ts:44-48, with
+  nSafe covering the whole loop).
+- Values are kept lazily reduced in [0, 2p) (reference invariant,
+  wasm/field-arithmetic.ts:32-74); R = 2^(n w) > 4p.
+- Inversion is constant-schedule Fermat exponentiation + a log-depth product
+  tree for batch inversion (replaces the branchy Kaliski EGCD,
+  wasm/inverse.ts:136-179, which does not map to SIMD hardware).
+- sqrt uses a Pohlig-Hellman discrete log in the 2-Sylow subgroup with a
+  uniform masked loop (replaces branchy Tonelli-Shanks, field-sqrt.ts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint.util import MontgomeryParams, montgomery_params, to_limbs
+from . import limbs as codec
+
+Array = jax.Array
+
+
+def _stack(xs):
+    return jnp.stack(xs, axis=0)
+
+
+@dataclass(frozen=True, eq=False)
+class FieldOps:
+    """Field arithmetic over limb planes for a fixed (p, w).
+
+    All methods are pure and traceable; arrays have shape (n, ...) with the
+    limb axis leading. Elements are in [0, 2p) unless noted. Montgomery-domain
+    values are marked `*_mont` in docstrings; the domain is not tracked in
+    types (same as the reference).
+    """
+
+    mp: MontgomeryParams
+    # numpy constant planes, shape (n, 1)
+    p_limbs: np.ndarray
+    two_p_limbs: np.ndarray
+    r2_limbs: np.ndarray  # R^2 mod p (plain limbs; mont-mul by it == toMontgomery)
+    one_mont: np.ndarray  # R mod p == Montgomery form of 1
+    # sqrt precomputation (2-Sylow structure of F_p^*)
+    sqrt_M: int = 0
+    sqrt_q_odd: int = 1
+    sqrt_g_inv_pows: np.ndarray | None = None  # (M, n, 1) g^(-2^j), mont form
+
+    # ------------------------------------------------------------------ basics
+
+    def jitted(self, name: str):
+        """Cached jax.jit of a method — for host-side eager use (I/O paths);
+        traced/jitted code should call the methods directly."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(getattr(self, name))
+        return cache[name]
+
+    @property
+    def n(self) -> int:
+        return self.mp.n
+
+    @property
+    def w(self) -> int:
+        return self.mp.w
+
+    @property
+    def p(self) -> int:
+        return self.mp.p
+
+    @property
+    def mask(self) -> int:
+        return self.mp.word_max
+
+    def zeros(self, shape) -> Array:
+        return jnp.zeros((self.n, *shape), dtype=jnp.int32)
+
+    def const(self, value: int, shape=(1,)) -> Array:
+        """Broadcastable constant plane for a python int (plain, not mont)."""
+        arr = np.array(to_limbs(value % (1 << self.mp.K), self.w, self.n), dtype=np.int32)
+        return jnp.broadcast_to(arr.reshape(self.n, *([1] * len(shape))), (self.n, *shape))
+
+    # --------------------------------------------------------- carry machinery
+
+    def carry(self, S: Array) -> Array:
+        """Propagate carries so every limb lands in [0, 2^w).
+
+        Works for signed containers too (arithmetic shift = borrow propagation)
+        as long as the represented value is in [0, R). Analog of
+        wasm/field-helpers.ts carry/carrySigned (:99-164).
+        """
+        outs = []
+        c = jnp.zeros_like(S[0])
+        for i in range(self.n):
+            t = S[i] + c
+            outs.append(t & self.mask)
+            c = t >> self.w
+        return _stack(outs)
+
+    def _sub_limbs(self, x: Array, y: Array):
+        """Limb-wise x - y with borrow chain; returns (diff_limbs, borrow)
+        where borrow is 0 if x >= y else -1."""
+        outs = []
+        b = jnp.zeros_like(x[0])
+        for i in range(self.n):
+            t = x[i] - y[i] + b
+            outs.append(t & self.mask)
+            b = t >> self.w
+        return _stack(outs), b
+
+    @staticmethod
+    def _sel(cond: Array, a: Array, b: Array) -> Array:
+        """Select over the batch axes: cond has the trailing shape of a/b."""
+        return jnp.where(cond[None], a, b)
+
+    # ------------------------------------------------------------ add/sub/cmp
+
+    def add(self, x: Array, y: Array) -> Array:
+        """x + y with conditional subtract of 2p; in/out in [0, 2p).
+        (reference wasm/field-arithmetic.ts:32-74)"""
+        z = self.carry(x + y)
+        d, borrow = self._sub_limbs(z, jnp.asarray(self.two_p_limbs))
+        return self._sel(borrow == 0, d, z)
+
+    def add_no_reduce(self, x: Array, y: Array) -> Array:
+        return self.carry(x + y)
+
+    def sub(self, x: Array, y: Array) -> Array:
+        """x - y mod 2p; in/out in [0, 2p). (field-arithmetic.ts:76-111)"""
+        d, borrow = self._sub_limbs(x, y)
+        d2 = self.carry(d + jnp.asarray(self.two_p_limbs))
+        return self._sel(borrow == 0, d, d2)
+
+    def sub_positive(self, x: Array, y: Array) -> Array:
+        """Branch-free x - y + 2p, result in [0, 4p) (field-arithmetic.ts:117-134)."""
+        return self.carry(x - y + jnp.asarray(self.two_p_limbs))
+
+    def neg(self, x: Array) -> Array:
+        """2p - x (so zero maps to zero after reduce... careful: returns in
+        [0, 2p] with 2p - 0 = 2p reduced to 0 via conditional subtract)."""
+        d, _ = self._sub_limbs(jnp.asarray(self.two_p_limbs), x)
+        # x == 0 gives d == 2p which is outside [0,2p): subtract 2p where needed
+        d2, borrow = self._sub_limbs(d, jnp.asarray(self.two_p_limbs))
+        return self._sel(borrow == 0, d2, d)
+
+    def reduce(self, x: Array) -> Array:
+        """Map [0, 2p) -> [0, p) by one conditional subtract (field-arithmetic.ts:142-166)."""
+        d, borrow = self._sub_limbs(x, jnp.asarray(self.p_limbs))
+        return self._sel(borrow == 0, d, x)
+
+    def is_equal(self, x: Array, y: Array) -> Array:
+        """Bool over batch: x == y as field elements (inputs in [0, 2p))."""
+        xr, yr = self.reduce(x), self.reduce(y)
+        return jnp.all(xr == yr, axis=0)
+
+    def is_zero(self, x: Array) -> Array:
+        return jnp.all(self.reduce(x) == 0, axis=0)
+
+    # --------------------------------------------------- montgomery multiply
+
+    @property
+    def _rows_between_carries(self) -> int:
+        """CIOS rows that can run before a carry pass is required; each row
+        adds <= 2 products + carry slack per container (see module docstring)."""
+        return max(1, (1 << (30 - 2 * self.w)) - 1)
+
+    def mul(self, x: Array, y: Array) -> Array:
+        """Montgomery product x*y/R mod p; in/out in [0, 2p).
+
+        CIOS with deferred carries, rows as a fori_loop (the reference found
+        a rolled outer loop 40% faster than unrolled, doc/zprize22.md:201-205;
+        for us it keeps the HLO small), limb axis fully vectorized.
+        (reference wasm/multiply-montgomery.ts:58-136)
+        """
+        n, w, mask = self.n, self.w, self.mask
+        p_pl = jnp.asarray(self.p_limbs)
+        mu = self.mp.mu
+        zero_row = jnp.zeros_like(y[:1])
+
+        def row(i, S):
+            xi = jax.lax.dynamic_index_in_dim(x, i, axis=0, keepdims=False)
+            t0 = S[0] + xi * y[0]
+            qi = (mu * (t0 & mask)) & mask
+            full = S + xi * y + qi * p_pl
+            c = full[0] >> w
+            S = jnp.concatenate([full[1:], zero_row], axis=0)
+            return S.at[0].add(c)
+
+        S = jnp.zeros_like(y)
+        chunk = self._rows_between_carries
+        if chunk >= n:
+            S = jax.lax.fori_loop(0, n, row, S, unroll=min(n, 8))
+        else:
+            done = 0
+            while done < n:
+                hi = min(done + chunk, n)
+                S = jax.lax.fori_loop(done, hi, row, S, unroll=min(hi - done, 8))
+                S = self.carry(S)
+                done = hi
+        return self.carry(S)
+
+    def square(self, x: Array) -> Array:
+        """Montgomery square (cross-term sharing is a later optimization;
+        reference multiply-montgomery.ts:138-215)."""
+        return self.mul(x, x)
+
+    def to_montgomery(self, x: Array) -> Array:
+        """x -> x*R mod p (mont-mul by R^2; reference field-msm.ts:179-182)."""
+        return self.mul(x, jnp.broadcast_to(jnp.asarray(self.r2_limbs), x.shape))
+
+    def from_montgomery(self, x: Array) -> Array:
+        """x*R -> x mod p in [0, p) (mont-mul by 1 + reduce; field-msm.ts:183-186)."""
+        one = jnp.zeros_like(x).at[0].set(1)
+        return self.reduce(self.mul(x, one))
+
+    def mul_const(self, x: Array, c_mont: np.ndarray) -> Array:
+        """Multiply by a precomputed Montgomery-form constant plane (n, 1)."""
+        return self.mul(x, jnp.broadcast_to(jnp.asarray(c_mont), x.shape))
+
+    def left_shift(self, x: Array, k: int) -> Array:
+        """x * 2^k mod p (reference multiply-montgomery.ts:224-296). Implemented
+        as mont-mul by the Montgomery form of 2^k."""
+        c_mont = ((1 << k) % self.p) * self.mp.R % self.p
+        plane = codec.pack_scalar(c_mont, self.mp)
+        return self.mul_const(x, plane)
+
+    # ------------------------------------------------------------------- exp
+
+    def exp_const(self, x: Array, e: int) -> Array:
+        """x^e for a *static* python-int exponent, 4-bit fixed windows.
+
+        x in Montgomery form; result in Montgomery form, in [0, 2p).
+        Constant schedule — the TPU replacement for the reference's wasm exp
+        ladder (wasm/exp.ts:22-38) and, with e = p-2, for the Kaliski inverse.
+        """
+        if e < 0:
+            raise ValueError("negative exponent")
+        one = jnp.broadcast_to(jnp.asarray(self.one_mont), x.shape)
+        if e == 0:
+            return one
+        # table[d] = x^d, d in 0..15
+        table = [one, x]
+        for _ in range(14):
+            table.append(self.mul(table[-1], x))
+        table = jnp.stack(table, axis=0)  # (16, n, ...)
+        digits = []
+        t = e
+        while t:
+            digits.append(t & 15)
+            t >>= 4
+        digits.reverse()
+        acc = table[digits[0]]
+        if len(digits) == 1:
+            return acc
+        ds = jnp.asarray(np.array(digits[1:], dtype=np.int32))
+
+        def step(acc, d):
+            acc = self.square(self.square(self.square(self.square(acc))))
+            td = jax.lax.dynamic_index_in_dim(table, d, axis=0, keepdims=False)
+            return self.mul(acc, td), None
+
+        acc, _ = jax.lax.scan(step, acc, ds)
+        return acc
+
+    # -------------------------------------------------------------- inversion
+
+    def inv(self, x: Array) -> Array:
+        """1/x in Montgomery form via Fermat: x^(p-2) * R^2-ish.
+
+        For x = v*R (mont form of v), x^(p-2) mont-exponentiated gives
+        v^(p-2)*R = (1/v)*R — i.e. exp_const with e = p-2 directly yields the
+        Montgomery form of the inverse. x must be nonzero (else returns 0)."""
+        return self.exp_const(x, self.p - 2)
+
+    def batch_inv(self, x: Array, handle_zero: bool = False) -> Array:
+        """Batched inversion over the last axis: log-depth product tree +
+        one Fermat inversion + descent (~3 muls/element amortized).
+
+        TPU-shaped replacement for the sequential Montgomery trick
+        (wasm/inverse.ts:220-271). x: (n, N) Montgomery form, N arbitrary.
+        With handle_zero=True, zeros map to zeros instead of poisoning the tree.
+        """
+        n, N = x.shape[0], x.shape[-1]
+        assert x.ndim == 2, "batch_inv expects (n, N)"
+        one = jnp.asarray(self.one_mont)
+        if handle_zero:
+            zmask = self.is_zero(x)
+            x = self._sel(zmask, jnp.broadcast_to(one, x.shape), x)
+        # pad N to a power of two with ones
+        Np = 1 << max(0, (N - 1).bit_length())
+        if Np != N:
+            pad = jnp.broadcast_to(one, (n, Np - N))
+            xp = jnp.concatenate([x, pad], axis=-1)
+        else:
+            xp = x
+        levels = [xp]
+        while levels[-1].shape[-1] > 1:
+            v = levels[-1]
+            levels.append(self.mul(v[:, 0::2], v[:, 1::2]))
+        inv_cur = self.inv(levels[-1])
+        for v in reversed(levels[:-1]):
+            left, right = v[:, 0::2], v[:, 1::2]
+            inv_left = self.mul(inv_cur, right)
+            inv_right = self.mul(inv_cur, left)
+            inv_cur = jnp.stack([inv_left, inv_right], axis=-1).reshape(n, -1)
+        out = inv_cur[:, :N]
+        if handle_zero:
+            out = self._sel(zmask, jnp.zeros_like(out), out)
+        return out
+
+    # ------------------------------------------------------------------ sqrt
+
+    def sqrt(self, x: Array):
+        """Square roots over the batch; returns (root_mont, is_square_mask).
+
+        x in Montgomery form, in [0, 2p). Uses Pohlig-Hellman dlog in the
+        2-Sylow subgroup with a uniform masked loop — replaces the branchy
+        Tonelli-Shanks / table-based sqrt of the reference (field-sqrt.ts).
+        For non-squares the root output is 0. root satisfies root^2 == x.
+        """
+        M, q = self.sqrt_M, self.sqrt_q_odd
+        assert self.sqrt_g_inv_pows is not None, "sqrt not precomputed"
+        zmask = self.is_zero(x)
+        one = jnp.asarray(self.one_mont)
+        x_safe = self._sel(zmask, jnp.broadcast_to(one, x.shape), x)
+
+        # u = x^q lies in the 2-Sylow subgroup; r0 = x^((q+1)/2)
+        w_half = self.exp_const(x_safe, (q - 1) // 2)
+        u = self.mul(x_safe, self.mul(w_half, w_half))  # x^q
+        r0 = self.mul(x_safe, w_half)  # x^((q+1)/2)
+
+        if M == 0:
+            # p == 2 or trivial; x^((q+1)/2) is already the root
+            return self._sel(zmask, jnp.zeros_like(r0), r0), jnp.ones_like(zmask)
+
+        g_inv = jnp.asarray(self.sqrt_g_inv_pows)  # (M, n, 1)
+        one_b = jnp.broadcast_to(one, u.shape)
+
+        def dlog_step(v, j):
+            # s = v^(2^(M-1-j)); bit_j(e) = (s != 1)
+            s = jax.lax.fori_loop(0, M - 1 - j, lambda _, a: self.square(a), v)
+            bit = jnp.logical_not(self.is_equal(s, one_b))
+            gj = jax.lax.dynamic_index_in_dim(g_inv, j, axis=0, keepdims=False)
+            v = self._sel(bit, self.mul(v, jnp.broadcast_to(gj, v.shape)), v)
+            return v, bit
+
+        _, bits = jax.lax.scan(dlog_step, u, jnp.arange(M, dtype=jnp.int32))
+        # sqrt exists iff e is even (bit_0 == 0); root = r0 * g^(-e/2)
+        is_square = jnp.logical_not(bits[0])
+
+        def corr_step(r, j):
+            gj = jax.lax.dynamic_index_in_dim(g_inv, j - 1, axis=0, keepdims=False)
+            r = self._sel(bits[j], self.mul(r, jnp.broadcast_to(gj, r.shape)), r)
+            return r, None
+
+        r = r0
+        if M > 1:
+            r, _ = jax.lax.scan(corr_step, r0, jnp.arange(1, M, dtype=jnp.int32))
+        r = self._sel(is_square, r, jnp.zeros_like(r))
+        r = self._sel(zmask, jnp.zeros_like(r), r)
+        is_square = jnp.logical_or(is_square, zmask)
+        return r, is_square
+
+    # ------------------------------------------------------------------- I/O
+
+    def pack(self, values, to_mont: bool = False) -> Array:
+        arr = jnp.asarray(codec.pack(values, self.mp))
+        return self.jitted("to_montgomery")(arr) if to_mont else arr
+
+    def unpack(self, arr, from_mont: bool = False) -> list[int]:
+        if from_mont:
+            arr = self.jitted("from_montgomery")(jnp.asarray(arr))
+        return [v % self.p for v in codec.unpack(np.asarray(arr), self.mp)]
+
+
+def create_field_ops(p: int, w: int = 12, min_extra_bits: int = 2) -> FieldOps:
+    """Build FieldOps with all constants precomputed (host side).
+
+    Analog of createMsmField (reference field-msm.ts:20-133)."""
+    mp = montgomery_params(p, w, min_extra_bits)
+    # sanity: R > 4p so [0,2p) lazy reduction works through mont-mul
+    assert mp.R > 4 * p, "need R > 4p; increase min_extra_bits"
+    p_limbs = codec.pack_scalar(p, mp)
+    two_p_limbs = codec.pack_scalar(2 * p, mp)
+    r2_limbs = codec.pack_scalar(mp.R2, mp)
+    one_mont = codec.pack_scalar(mp.R_mod_p, mp)
+
+    # 2-Sylow structure for sqrt
+    M, q_odd = 0, p - 1
+    if p > 2:
+        while q_odd % 2 == 0:
+            q_odd //= 2
+            M += 1
+        z = 2
+        while pow(z, (p - 1) // 2, p) == 1:
+            z += 1
+        g = pow(z, q_odd, p)  # generator of 2-Sylow, order 2^M
+        g_inv = pow(g, -1, p)
+        pows = []
+        cur = g_inv
+        for _ in range(max(M, 1)):
+            pows.append(codec.pack_scalar(cur * mp.R % p, mp))  # mont form
+            cur = cur * cur % p
+        g_inv_pows = np.stack(pows, axis=0) if pows else None
+    else:
+        q_odd, g_inv_pows = 1, None
+
+    return FieldOps(
+        mp=mp,
+        p_limbs=p_limbs,
+        two_p_limbs=two_p_limbs,
+        r2_limbs=r2_limbs,
+        one_mont=one_mont,
+        sqrt_M=M,
+        sqrt_q_odd=q_odd,
+        sqrt_g_inv_pows=g_inv_pows,
+    )

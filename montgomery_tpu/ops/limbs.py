@@ -1,0 +1,56 @@
+"""Limb codec: python bigints <-> int32 limb-plane arrays.
+
+Layout decision (TPU-first, see SURVEY.md §7.1): a batch of N field elements is
+an int32 array of shape (n_limbs, N) — "limb planes", with the batch on the
+minor (lane) axis so every vector instruction processes 8x128 *points* at
+once. This is the opposite of the reference's AoS pointer layout and is the
+lesson of its failed limb-axis SIMD experiment
+(reference wasm/experiments/multiply-schoolbook-simd.ts:5-9).
+
+Analog of the reference's fromPackedBytes/toPackedBytes
+(wasm/field-helpers.ts:211-301).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bigint.util import MontgomeryParams, from_limbs, to_limbs
+
+
+def pack(values, mp: MontgomeryParams) -> np.ndarray:
+    """Pack a list of python ints (each in [0, 2^K)) into an (n, N) int32 array."""
+    n, w = mp.n, mp.w
+    N = len(values)
+    out = np.empty((n, N), dtype=np.int32)
+    for j, v in enumerate(values):
+        out[:, j] = to_limbs(v, w, n)
+    return out
+
+
+def unpack(arr, mp: MontgomeryParams) -> list[int]:
+    """Recombine an (n, N) limb array into python ints (exact signed value)."""
+    a = np.asarray(arr)
+    assert a.shape[0] == mp.n, (a.shape, mp.n)
+    return [from_limbs(a[:, j], mp.w) for j in range(a.shape[1])]
+
+
+def pack_scalar(value: int, mp: MontgomeryParams) -> np.ndarray:
+    """Pack a single int as an (n, 1) constant plane (broadcastable)."""
+    return pack([value], mp)
+
+
+def pack_bytes(data: bytes, mp: MontgomeryParams, count: int) -> np.ndarray:
+    """Packed little-endian bytes (count elements of n_packed_bytes each) ->
+    (n, count) limb array. Analog of fromPackedBytes."""
+    nb = mp.n_packed_bytes
+    assert len(data) == count * nb
+    vals = [int.from_bytes(data[i * nb : (i + 1) * nb], "little") for i in range(count)]
+    return pack(vals, mp)
+
+
+def to_bytes(arr, mp: MontgomeryParams) -> bytes:
+    """(n, N) limb array -> packed little-endian bytes (analog of toPackedBytes)."""
+    vals = unpack(arr, mp)
+    nb = mp.n_packed_bytes
+    return b"".join(int(v).to_bytes(nb, "little") for v in vals)
