@@ -1,0 +1,102 @@
+"""Group adapters: the minimal batched-group interface the MSM engine needs.
+
+Mirrors the reference's msm-basic input record {add, double, addMixed,
+setZero, ...} (msm-basic.ts:16-32) — any curve exposing complete batched
+add/double/select/gather can be fed to the Pippenger engine:
+ProjectiveAdapter (Weierstrass) and EdwardsAdapter (twisted Edwards).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..curves.edwards import EdwardsBatch, EdwardsOps
+from ..curves.projective import AffineBatch, ProjectiveBatch, ProjectiveOps
+from ..ops.field import Array, FieldOps
+
+
+def _take(P, idx):
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), P)
+
+
+class ProjectiveAdapter:
+    """Weierstrass MSM accumulation in masked-complete projective coords."""
+
+    def __init__(self, proj: ProjectiveOps):
+        self.proj = proj
+        self.f: FieldOps = proj.f
+
+    def zero_like(self, shape) -> ProjectiveBatch:
+        f = self.f
+        one = jnp.broadcast_to(
+            jnp.asarray(f.one_mont).reshape((f.n,) + (1,) * max(1, len(shape))),
+            (f.n, *shape),
+        )
+        z = jnp.zeros((f.n, *shape), dtype=jnp.int32)
+        return ProjectiveBatch(z, one, z)
+
+    def from_points(self, A: AffineBatch) -> ProjectiveBatch:
+        return self.proj.from_affine(A)
+
+    def add(self, P, Q):
+        return self.proj.add(P, Q)
+
+    def double(self, P):
+        return self.proj.double(P)
+
+    def select(self, mask, a, b):
+        return self.proj.select(mask, a, b)
+
+    def gather(self, P, idx):
+        return _take(P, idx)
+
+    def neg_where(self, P, mask):
+        f = self.f
+        return ProjectiveBatch(P.X, f._sel(mask, f.neg(P.Y), P.Y), P.Z)
+
+    def reshape(self, P, shape):
+        n = self.f.n
+        return jax.tree.map(lambda a: a.reshape((n, *shape) if a.shape[0] == n else shape), P)
+
+
+class EdwardsAdapter:
+    """Twisted-Edwards MSM accumulation in extended coords (no masks needed)."""
+
+    def __init__(self, ed: EdwardsOps):
+        self.ed = ed
+        self.f: FieldOps = ed.f
+
+    def zero_like(self, shape) -> EdwardsBatch:
+        f = self.f
+        one = jnp.broadcast_to(
+            jnp.asarray(f.one_mont).reshape((f.n,) + (1,) * max(1, len(shape))),
+            (f.n, *shape),
+        )
+        z = jnp.zeros((f.n, *shape), dtype=jnp.int32)
+        return EdwardsBatch(z, one, one, z)
+
+    def from_points(self, P: EdwardsBatch) -> EdwardsBatch:
+        return P
+
+    def add(self, P, Q):
+        return self.ed.add(P, Q)
+
+    def double(self, P):
+        return self.ed.double(P)
+
+    def select(self, mask, a, b):
+        return self.ed.select(mask, a, b)
+
+    def gather(self, P, idx):
+        return _take(P, idx)
+
+    def neg_where(self, P, mask):
+        f = self.f
+        return EdwardsBatch(
+            f._sel(mask, f.neg(P.X), P.X), P.Y, P.Z, f._sel(mask, f.neg(P.T), P.T)
+        )
+
+    def reshape(self, P, shape):
+        n = self.f.n
+        return jax.tree.map(lambda a: a.reshape((n, *shape) if a.shape[0] == n else shape), P)

@@ -1,0 +1,94 @@
+"""High-level MSM API: curve contexts with cached jitted pipelines.
+
+The analog of the reference's instantiation layer (parallel.ts
+createWeierstraß/createTwistedEdwards + concrete singletons): build a curve
+context once, then call `.msm(scalars, points)`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint.twisted_edwards import EdwardsParams, EdwardsPoint
+from ..bigint.weierstrass import AffinePoint, CurveParams
+from ..curves.affine import AffineOps
+from ..curves.edwards import EdwardsOps
+from ..curves.projective import ProjectiveOps
+from ..ops.field import create_field_ops
+from ..scalar.slicing import num_windows, signed_digits
+from .adapters import EdwardsAdapter, ProjectiveAdapter
+from .pippenger import msm_digits, window_size
+
+
+class WeierstrassMsm:
+    """MSM context for a short-Weierstrass curve (reference createWeierstraß,
+    parallel.ts:40-177)."""
+
+    def __init__(self, params: CurveParams, w: int = 12):
+        self.params = params
+        self.fops = create_field_ops(params.modulus, w=w)
+        self.proj = ProjectiveOps(self.fops, params)
+        self.affine = AffineOps(self.fops, params)
+        self.adapter = ProjectiveAdapter(self.proj)
+        self.scalar_bits = params.order.bit_length()
+        self._jits = {}
+
+    # --- device entry point (traceable) ---
+    def msm_device(self, points_affine, digits, c: int, window_chunk=None):
+        P = self.adapter.from_points(points_affine)
+        return msm_digits(self.adapter, P, digits, c, window_chunk=window_chunk)
+
+    # --- host convenience ---
+    def digits(self, scalars: list[int], c: int) -> np.ndarray:
+        return signed_digits([s % self.params.order for s in scalars], self.scalar_bits, c)
+
+    def msm(self, scalars, points: list[AffinePoint], c: int | None = None) -> AffinePoint:
+        N = len(points)
+        assert len(scalars) == N and N > 0
+        if c is None:
+            c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
+        d = jnp.asarray(self.digits(scalars, c))
+        A = self.proj.affine_to_device(points)
+        key = (N, d.shape[0], c)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                lambda pts, dg: self.msm_device(pts, dg, c)
+            )
+        S = self._jits[key](A, d)
+        return self.proj.to_host(S)[0]
+
+
+class EdwardsMsm:
+    """MSM context for a twisted-Edwards curve (reference createTwistedEdwards,
+    parallel.ts:179-289)."""
+
+    def __init__(self, params: EdwardsParams, w: int = 12):
+        self.params = params
+        self.fops = create_field_ops(params.modulus, w=w)
+        self.ed = EdwardsOps(self.fops, params)
+        self.adapter = EdwardsAdapter(self.ed)
+        self.scalar_bits = params.order.bit_length()
+        self._jits = {}
+
+    def msm_device(self, points, digits, c: int, window_chunk=None):
+        return msm_digits(self.adapter, points, digits, c, window_chunk=window_chunk)
+
+    def digits(self, scalars, c: int) -> np.ndarray:
+        return signed_digits([s % self.params.order for s in scalars], self.scalar_bits, c)
+
+    def msm(self, scalars, points: list[EdwardsPoint], c: int | None = None) -> EdwardsPoint:
+        N = len(points)
+        assert len(scalars) == N and N > 0
+        if c is None:
+            c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
+        d = jnp.asarray(self.digits(scalars, c))
+        P = self.ed.to_device(points)
+        key = (N, d.shape[0], c)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                lambda pts, dg: self.msm_device(pts, dg, c)
+            )
+        S = self._jits[key](P, d)
+        return self.ed.to_host(S)[0]

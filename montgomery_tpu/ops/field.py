@@ -35,6 +35,12 @@ from . import limbs as codec
 
 Array = jax.Array
 
+# Roll the CIOS row loop into lax.fori_loop (False) or emit it fully unrolled
+# (True). Unrolled produces flat elementwise HLO that XLA fuses and compiles
+# predictably, and is also slightly faster at runtime; rolled keeps the HLO
+# tiny. Default unrolled.
+_UNROLL_MUL = True
+
 
 def _stack(xs):
     return jnp.stack(xs, axis=0)
@@ -54,6 +60,7 @@ class FieldOps:
     # numpy constant planes, shape (n, 1)
     p_limbs: np.ndarray
     two_p_limbs: np.ndarray
+    four_p_limbs: np.ndarray
     r2_limbs: np.ndarray  # R^2 mod p (plain limbs; mont-mul by it == toMontgomery)
     one_mont: np.ndarray  # R mod p == Montgomery form of 1
     # sqrt precomputation (2-Sylow structure of F_p^*)
@@ -97,71 +104,132 @@ class FieldOps:
 
     # --------------------------------------------------------- carry machinery
 
-    def carry(self, S: Array) -> Array:
+    def _shift_down(self, a: Array, d: int) -> Array:
+        """out[i] = a[i-d] along the limb axis, zero-filled at the bottom."""
+        if d >= a.shape[0]:
+            return jnp.zeros_like(a)
+        return jnp.concatenate([jnp.zeros_like(a[:d]), a[:-d]], axis=0)
+
+    def _ks_carry(self, S: Array) -> Array:
+        """Kogge-Stone carry propagation for limbs in [0, 2^(w+1)):
+        log2(n) parallel steps instead of an n-step sequential chain.
+        Any carry out of the top limb is dropped (arithmetic is mod R).
+        TPU-shaped replacement for wasm/field-helpers.ts carry (:99-164)."""
+        w, mask, n = self.w, self.mask, self.n
+        g = S >> w  # 0/1: generate
+        r = S & mask
+        p = r == mask  # propagate
+        d = 1
+        while d < n:
+            g = g | jnp.where(p, self._shift_down(g, d), 0)
+            p = p & self._shift_down(p, d)
+            d <<= 1
+        cin = self._shift_down(g, 1)
+        return (r + cin) & mask
+
+    def carry(self, S: Array, bound: int = 1 << 31) -> Array:
         """Propagate carries so every limb lands in [0, 2^w).
 
-        Works for signed containers too (arithmetic shift = borrow propagation)
-        as long as the represented value is in [0, R). Analog of
-        wasm/field-helpers.ts carry/carrySigned (:99-164).
-        """
-        outs = []
-        c = jnp.zeros_like(S[0])
-        for i in range(self.n):
-            t = S[i] + c
-            outs.append(t & self.mask)
-            c = t >> self.w
-        return _stack(outs)
+        S must be non-negative per limb with represented value in [0, R).
+        `bound` is a static upper bound on the limb values; multi-bit carries
+        are squeezed out with parallel shift/mask stages until single-bit,
+        then resolved with Kogge-Stone."""
+        w, mask = self.w, self.mask
+        B = bound
+        while B >= (1 << (w + 1)):
+            c = S >> w
+            S = (S & mask) + self._shift_down(c, 1)
+            B = mask + (B >> w) + 1
+        return self._ks_carry(S)
 
     def _sub_limbs(self, x: Array, y: Array):
-        """Limb-wise x - y with borrow chain; returns (diff_limbs, borrow)
-        where borrow is 0 if x >= y else -1."""
-        outs = []
-        b = jnp.zeros_like(x[0])
-        for i in range(self.n):
-            t = x[i] - y[i] + b
-            outs.append(t & self.mask)
-            b = t >> self.w
-        return _stack(outs), b
+        """Limb-wise x - y for canonical inputs via Kogge-Stone borrow
+        propagation; returns (diff_limbs mod R, underflow_bool)."""
+        n = self.n
+        d0 = x - y  # in (-2^w, 2^w)
+        g = d0 < 0  # borrow generate
+        p = d0 == 0  # borrow propagate
+        d = 1
+        while d < n:
+            g = g | (p & self._shift_down(g, d))
+            p = p & self._shift_down(p, d)
+            d <<= 1
+        bin_ = self._shift_down(g, 1).astype(jnp.int32)
+        out = (d0 - bin_) & self.mask
+        return out, g[n - 1]
 
     @staticmethod
     def _sel(cond: Array, a: Array, b: Array) -> Array:
         """Select over the batch axes: cond has the trailing shape of a/b."""
         return jnp.where(cond[None], a, b)
 
+
+    def bc(self, const, ref: Array) -> Array:
+        """Reshape a stored constant plane ((n,) or (n,1) numpy) so it
+        broadcasts against `ref` of any rank (n, *batch)."""
+        a = jnp.asarray(const).reshape((self.n,) + (1,) * (ref.ndim - 1))
+        return a
+
+    def bc_full(self, const, ref: Array) -> Array:
+        return jnp.broadcast_to(self.bc(const, ref), ref.shape)
+
     # ------------------------------------------------------------ add/sub/cmp
+
+    @property
+    def _sum2_bound(self) -> int:
+        """Static bound on limbs of a sum of two canonical elements."""
+        return 2 * self.mask
 
     def add(self, x: Array, y: Array) -> Array:
         """x + y with conditional subtract of 2p; in/out in [0, 2p).
         (reference wasm/field-arithmetic.ts:32-74)"""
-        z = self.carry(x + y)
-        d, borrow = self._sub_limbs(z, jnp.asarray(self.two_p_limbs))
-        return self._sel(borrow == 0, d, z)
+        z = self.carry(x + y, bound=self._sum2_bound)
+        d, under = self._sub_limbs(z, self.bc(self.two_p_limbs, z))
+        return self._sel(jnp.logical_not(under), d, z)
 
     def add_no_reduce(self, x: Array, y: Array) -> Array:
-        return self.carry(x + y)
+        return self.carry(x + y, bound=self._sum2_bound)
+
+    # Lazy variants: single carry pass, NO reduction. Values may grow to a
+    # few multiples of p; legal because create_field_ops guarantees >= 6 bits
+    # of Montgomery slack (R > 64p), so mul accepts operands up to 6p/8p
+    # (a*b*p < R keeps the output in [0, 2p); see _mul_dot docstring).
+    # This is the TPU analog of the reference's addNoReduce/subtractPositive
+    # fast paths (wasm/field-arithmetic.ts:32-134).
+
+    def add_lazy(self, x: Array, y: Array) -> Array:
+        """x + y, canonical limbs, value bound = bound(x) + bound(y)."""
+        return self.carry(x + y, bound=self._sum2_bound)
+
+    def sub_lazy(self, x: Array, y: Array) -> Array:
+        """x - y + 4p (no reduction); valid for y < 4p, bound = bound(x) + 4p."""
+        t = self.carry(x + self.bc(self.four_p_limbs, x), bound=self._sum2_bound)
+        d, _ = self._sub_limbs(t, y)
+        return d
 
     def sub(self, x: Array, y: Array) -> Array:
         """x - y mod 2p; in/out in [0, 2p). (field-arithmetic.ts:76-111)"""
-        d, borrow = self._sub_limbs(x, y)
-        d2 = self.carry(d + jnp.asarray(self.two_p_limbs))
-        return self._sel(borrow == 0, d, d2)
+        d, under = self._sub_limbs(x, y)
+        d2 = self.carry(d + self.bc(self.two_p_limbs, d), bound=self._sum2_bound)
+        return self._sel(under, d2, d)
 
     def sub_positive(self, x: Array, y: Array) -> Array:
         """Branch-free x - y + 2p, result in [0, 4p) (field-arithmetic.ts:117-134)."""
-        return self.carry(x - y + jnp.asarray(self.two_p_limbs))
+        t = self.carry(x + self.bc(self.two_p_limbs, x), bound=self._sum2_bound)
+        d, _ = self._sub_limbs(t, y)  # never underflows: x + 2p > y
+        return d
 
     def neg(self, x: Array) -> Array:
-        """2p - x (so zero maps to zero after reduce... careful: returns in
-        [0, 2p] with 2p - 0 = 2p reduced to 0 via conditional subtract)."""
-        d, _ = self._sub_limbs(jnp.asarray(self.two_p_limbs), x)
+        """2p - x reduced into [0, 2p) (zero maps to zero)."""
+        d, _ = self._sub_limbs(self.bc_full(self.two_p_limbs, x), x)
         # x == 0 gives d == 2p which is outside [0,2p): subtract 2p where needed
-        d2, borrow = self._sub_limbs(d, jnp.asarray(self.two_p_limbs))
-        return self._sel(borrow == 0, d2, d)
+        d2, under = self._sub_limbs(d, self.bc(self.two_p_limbs, d))
+        return self._sel(jnp.logical_not(under), d2, d)
 
     def reduce(self, x: Array) -> Array:
         """Map [0, 2p) -> [0, p) by one conditional subtract (field-arithmetic.ts:142-166)."""
-        d, borrow = self._sub_limbs(x, jnp.asarray(self.p_limbs))
-        return self._sel(borrow == 0, d, x)
+        d, under = self._sub_limbs(x, self.bc(self.p_limbs, x))
+        return self._sel(jnp.logical_not(under), d, x)
 
     def is_equal(self, x: Array, y: Array) -> Array:
         """Bool over batch: x == y as field elements (inputs in [0, 2p))."""
@@ -179,21 +247,98 @@ class FieldOps:
         adds <= 2 products + carry slack per container (see module docstring)."""
         return max(1, (1 << (30 - 2 * self.w)) - 1)
 
+    # Toeplitz constants for the dot-form Montgomery multiply (lazy-built)
+    def _dot_consts(self):
+        cache = self.__dict__.setdefault("_dot_cache", None)
+        if cache is None:
+            n, w = self.n, self.w
+            mask = self.mask
+            # mu_full = -p^{-1} mod R, full n limbs
+            mu_full = (-pow(self.p, -1, self.mp.R)) % self.mp.R
+            mu_limbs = to_limbs(mu_full, w, n)
+            p_limbs = to_limbs(self.p, w, n)
+            # Mu[i, k] = mu_{k-i} for 0 <= k-i < n, k in [0, n)
+            Mu = np.zeros((n, n), dtype=np.int32)
+            Pt = np.zeros((n, 2 * n - 1), dtype=np.int32)
+            for i in range(n):
+                for k in range(n):
+                    if 0 <= k - i < n:
+                        Mu[i, k] = mu_limbs[k - i]
+                for k in range(2 * n - 1):
+                    if 0 <= k - i < n:
+                        Pt[i, k] = p_limbs[k - i]
+            # gather index/mask for the batched product x*y
+            ki = np.arange(2 * n - 1)[None, :] - np.arange(n)[:, None]  # (n, 2n-1)
+            valid = (ki >= 0) & (ki < n)
+            ki = np.clip(ki, 0, n - 1).astype(np.int32)
+            cache = (Mu, Pt, ki, valid)
+            object.__setattr__(self, "_dot_cache", cache)
+        return cache
+
+    def _mul_dot(self, x: Array, y: Array) -> Array:
+        """Full-word Montgomery multiply in dot/einsum form: the whole
+        schoolbook product is ONE contraction (z_k = sum_{i+j=k} x_i y_j),
+        the Montgomery quotient q = T*mu mod R and q*p are matmuls against
+        static Toeplitz matrices. ~10x fewer HLO ops than the row-by-row
+        CIOS loop and far shorter dependency chains; requires n*2^(2w) < 2^31
+        (w <= 13 at 384-bit sizes)."""
+        n, w = self.n, self.w
+        Mu, Pt, ki, valid = self._dot_consts()
+        vm = jnp.asarray(valid.reshape(valid.shape + (1,) * (y.ndim - 1)))
+        # Y[i, k] = y[k - i] (0 where out of range): (n, 2n-1, *batch)
+        Y = jnp.where(vm, y[jnp.asarray(ki)], 0)
+        T = jnp.einsum("i...,ik...->k...", x, Y)  # (2n-1, *batch), limbs < n*2^2w
+        T = jnp.concatenate([T, jnp.zeros_like(T[:1])], axis=0)  # (2n, *batch)
+        Tc = self.carry_wide(T)
+        q = jnp.einsum("i...,ik->k...", Tc[:n], jnp.asarray(Mu))  # mod R implicit
+        q = self._ks_carry_any(q, bound=n << (2 * w))
+        M = jnp.einsum("i...,ik->k...", q, jnp.asarray(Pt))  # (2n-1, *batch)
+        M = jnp.concatenate([M, jnp.zeros_like(M[:1])], axis=0)
+        Z = self.carry_wide(Tc + M)  # low n limbs are exactly 0
+        return Z[n:]
+
+    def carry_wide(self, S: Array, bound: int = 1 << 31) -> Array:
+        """carry() for arbitrary limb count (2n for double-width products)."""
+        w, mask = self.w, self.mask
+        n_total = S.shape[0]
+        B = bound
+        while B >= (1 << (w + 1)):
+            c = S >> w
+            S = (S & mask) + self._shift_down(c, 1)
+            B = mask + (B >> w) + 1
+        g = S >> w
+        r = S & mask
+        p = r == mask
+        d = 1
+        while d < n_total:
+            g = g | jnp.where(p, self._shift_down(g, d), 0)
+            p = p & self._shift_down(p, d)
+            d <<= 1
+        return (r + self._shift_down(g, 1)) & mask
+
+    def _ks_carry_any(self, S: Array, bound: int) -> Array:
+        return self.carry_wide(S, bound=bound)
+
     def mul(self, x: Array, y: Array) -> Array:
         """Montgomery product x*y/R mod p; in/out in [0, 2p).
 
-        CIOS with deferred carries, rows as a fori_loop (the reference found
-        a rolled outer loop 40% faster than unrolled, doc/zprize22.md:201-205;
-        for us it keeps the HLO small), limb axis fully vectorized.
-        (reference wasm/multiply-montgomery.ts:58-136)
+        Dot/einsum full-word form when n*2^(2w) fits int32 (default w=12),
+        else CIOS with deferred carries (reference
+        wasm/multiply-montgomery.ts:58-136; rolled-vs-unrolled discussion
+        doc/zprize22.md:201-205).
         """
+        if self.n * (1 << (2 * self.w)) < (1 << 31):
+            return self._mul_dot(x, y)
         n, w, mask = self.n, self.w, self.mask
-        p_pl = jnp.asarray(self.p_limbs)
+        p_pl = self.bc(self.p_limbs, y)
         mu = self.mp.mu
         zero_row = jnp.zeros_like(y[:1])
 
         def row(i, S):
-            xi = jax.lax.dynamic_index_in_dim(x, i, axis=0, keepdims=False)
+            if isinstance(i, int):
+                xi = x[i]
+            else:
+                xi = jax.lax.dynamic_index_in_dim(x, i, axis=0, keepdims=False)
             t0 = S[0] + xi * y[0]
             qi = (mu * (t0 & mask)) & mask
             full = S + xi * y + qi * p_pl
@@ -203,7 +348,14 @@ class FieldOps:
 
         S = jnp.zeros_like(y)
         chunk = self._rows_between_carries
-        if chunk >= n:
+        if _UNROLL_MUL:
+            # flat elementwise HLO: no nested loops — compiles far better when
+            # the mul sits inside lax.scan bodies, and XLA fuses the whole chain
+            for i in range(n):
+                S = row(i, S)
+                if chunk < n and (i + 1) % chunk == 0:
+                    S = self.carry(S)
+        elif chunk >= n:
             S = jax.lax.fori_loop(0, n, row, S, unroll=min(n, 8))
         else:
             done = 0
@@ -214,6 +366,26 @@ class FieldOps:
                 done = hi
         return self.carry(S)
 
+    def mul_list(self, pairs) -> list[Array]:
+        """Montgomery-multiply several independent (a, b) pairs as ONE fused
+        kernel: concatenate along the batch axis, multiply, split.
+
+        This is the main compile-time/runtime lever for curve formulas: a
+        projective add is 4 mul_list calls instead of 14 scalar muls — fewer
+        XLA loops, wider vectors."""
+        if len(pairs) == 1:
+            return [self.mul(*pairs[0])]
+        xs = jnp.concatenate([a for a, _ in pairs], axis=-1)
+        ys = jnp.concatenate([b for _, b in pairs], axis=-1)
+        z = self.mul(xs, ys)
+        outs = []
+        off = 0
+        for a, _ in pairs:
+            s = a.shape[-1]
+            outs.append(z[..., off : off + s])
+            off += s
+        return outs
+
     def square(self, x: Array) -> Array:
         """Montgomery square (cross-term sharing is a later optimization;
         reference multiply-montgomery.ts:138-215)."""
@@ -221,7 +393,7 @@ class FieldOps:
 
     def to_montgomery(self, x: Array) -> Array:
         """x -> x*R mod p (mont-mul by R^2; reference field-msm.ts:179-182)."""
-        return self.mul(x, jnp.broadcast_to(jnp.asarray(self.r2_limbs), x.shape))
+        return self.mul(x, self.bc_full(self.r2_limbs, x))
 
     def from_montgomery(self, x: Array) -> Array:
         """x*R -> x mod p in [0, p) (mont-mul by 1 + reduce; field-msm.ts:183-186)."""
@@ -230,7 +402,7 @@ class FieldOps:
 
     def mul_const(self, x: Array, c_mont: np.ndarray) -> Array:
         """Multiply by a precomputed Montgomery-form constant plane (n, 1)."""
-        return self.mul(x, jnp.broadcast_to(jnp.asarray(c_mont), x.shape))
+        return self.mul(x, self.bc_full(c_mont, x))
 
     def left_shift(self, x: Array, k: int) -> Array:
         """x * 2^k mod p (reference multiply-montgomery.ts:224-296). Implemented
@@ -250,7 +422,7 @@ class FieldOps:
         """
         if e < 0:
             raise ValueError("negative exponent")
-        one = jnp.broadcast_to(jnp.asarray(self.one_mont), x.shape)
+        one = self.bc_full(self.one_mont, x)
         if e == 0:
             return one
         # table[d] = x^d, d in 0..15
@@ -297,14 +469,14 @@ class FieldOps:
         """
         n, N = x.shape[0], x.shape[-1]
         assert x.ndim == 2, "batch_inv expects (n, N)"
-        one = jnp.asarray(self.one_mont)
+        one = self.bc(self.one_mont, x)
         if handle_zero:
             zmask = self.is_zero(x)
             x = self._sel(zmask, jnp.broadcast_to(one, x.shape), x)
         # pad N to a power of two with ones
         Np = 1 << max(0, (N - 1).bit_length())
         if Np != N:
-            pad = jnp.broadcast_to(one, (n, Np - N))
+            pad = jnp.broadcast_to(jnp.asarray(self.one_mont).reshape(n, 1), (n, Np - N))
             xp = jnp.concatenate([x, pad], axis=-1)
         else:
             xp = x
@@ -336,7 +508,7 @@ class FieldOps:
         M, q = self.sqrt_M, self.sqrt_q_odd
         assert self.sqrt_g_inv_pows is not None, "sqrt not precomputed"
         zmask = self.is_zero(x)
-        one = jnp.asarray(self.one_mont)
+        one = self.bc(self.one_mont, x)
         x_safe = self._sel(zmask, jnp.broadcast_to(one, x.shape), x)
 
         # u = x^q lies in the 2-Sylow subgroup; r0 = x^((q+1)/2)
@@ -393,10 +565,15 @@ def create_field_ops(p: int, w: int = 12, min_extra_bits: int = 2) -> FieldOps:
 
     Analog of createMsmField (reference field-msm.ts:20-133)."""
     mp = montgomery_params(p, w, min_extra_bits)
-    # sanity: R > 4p so [0,2p) lazy reduction works through mont-mul
-    assert mp.R > 4 * p, "need R > 4p; increase min_extra_bits"
+    # require >= 6 bits of slack (R > 64p) so the lazy add/sub variants can
+    # feed mont-mul with operands up to ~8p (a*b*p < R analysis); add a limb
+    # if the natural rounding did not provide it
+    if mp.K < mp.length_p + 6:
+        mp = montgomery_params(p, w, mp.K + w - mp.length_p)
+    assert mp.R > 64 * p
     p_limbs = codec.pack_scalar(p, mp)
     two_p_limbs = codec.pack_scalar(2 * p, mp)
+    four_p_limbs = codec.pack_scalar(4 * p, mp)
     r2_limbs = codec.pack_scalar(mp.R2, mp)
     one_mont = codec.pack_scalar(mp.R_mod_p, mp)
 
@@ -424,6 +601,7 @@ def create_field_ops(p: int, w: int = 12, min_extra_bits: int = 2) -> FieldOps:
         mp=mp,
         p_limbs=p_limbs,
         two_p_limbs=two_p_limbs,
+        four_p_limbs=four_p_limbs,
         r2_limbs=r2_limbs,
         one_mont=one_mont,
         sqrt_M=M,

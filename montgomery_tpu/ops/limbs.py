@@ -40,6 +40,12 @@ def pack_scalar(value: int, mp: MontgomeryParams) -> np.ndarray:
     return pack([value], mp)
 
 
+def pack_const(value: int, mp: MontgomeryParams) -> np.ndarray:
+    """Pack a single int as an (n,) constant vector; field ops reshape it to
+    broadcast against any (n, *batch) array rank."""
+    return np.array(to_limbs(value, mp.w, mp.n), dtype=np.int32)
+
+
 def pack_bytes(data: bytes, mp: MontgomeryParams, count: int) -> np.ndarray:
     """Packed little-endian bytes (count elements of n_packed_bytes each) ->
     (n, count) limb array. Analog of fromPackedBytes."""
