@@ -33,6 +33,11 @@ class WeierstrassMsm:
         self.affine = AffineOps(self.fops, params)
         self.adapter = ProjectiveAdapter(self.proj)
         self.scalar_bits = params.order.bit_length()
+        self.glv = None
+        if params.endomorphism is not None:
+            from ..scalar.glv import glv_params
+
+            self.glv = glv_params(params.order, params.endomorphism.lam)
         self._jits = {}
 
     # --- device entry point (traceable) ---
@@ -55,6 +60,39 @@ class WeierstrassMsm:
         if key not in self._jits:
             self._jits[key] = jax.jit(
                 lambda pts, dg: self.msm_device(pts, dg, c)
+            )
+        S = self._jits[key](A, d)
+        return self.proj.to_host(S)[0]
+
+    # --- GLV path: halved windows over the doubled point list [P, phi(P)]
+    #     (reference msm-batched-affine.ts:350-421 4-variant preparation;
+    #     signs live in the digits, so 2 variants suffice here) ---
+    def expand_points_glv(self, A):
+        """AffineBatch (N) -> AffineBatch (2N): [P..., phi(P)...]."""
+        import jax.numpy as jnp
+
+        E = self.proj.endomorphism_affine(A)
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=-1), A, E
+        )
+
+    def digits_glv(self, scalars, c: int) -> np.ndarray:
+        from ..scalar.glv import signed_digits_glv
+
+        assert self.glv is not None, "curve has no endomorphism"
+        return signed_digits_glv(self.glv, scalars, c)
+
+    def msm_glv(self, scalars, points: list[AffinePoint], c: int | None = None) -> AffinePoint:
+        N = len(points)
+        assert len(scalars) == N and N > 0
+        if c is None:
+            c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
+        d = jnp.asarray(self.digits_glv(scalars, c))
+        A = self.proj.affine_to_device(points)
+        key = ("glv", N, d.shape[0], c)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                lambda pts, dg: self.msm_device(self.expand_points_glv(pts), dg, c)
             )
         S = self._jits[key](A, d)
         return self.proj.to_host(S)[0]
