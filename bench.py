@@ -33,7 +33,7 @@ def main():
 
     from montgomery_tpu.bigint import WeierstrassCurve, msm as oracle_msm
     from montgomery_tpu.concrete import BLS12_377
-    from montgomery_tpu.curves.random import random_points_weierstrass
+    from montgomery_tpu.curves.random import random_points_fast
     from montgomery_tpu.msm import WeierstrassMsm, msm_digits, window_size
     from montgomery_tpu.scalar.slicing import num_windows
 
@@ -48,7 +48,7 @@ def main():
 
     # ---- inputs (device-generated points; random digits) ----
     t0 = time.time()
-    pts = random_points_weierstrass(ctx.proj, N, seed=42)
+    pts = random_points_fast(ctx.proj, N, seed=42)
     P = ctx.adapter.from_points(pts)
     jax.block_until_ready(P)
     log("points generated in %.1fs" % (time.time() - t0))
@@ -64,7 +64,8 @@ def main():
     d_chk = np.asarray(digits[:, :n_chk])
     chk_pts = ctx.proj.affine_to_host(jax.tree.map(lambda a: a[..., :n_chk], pts))
     sc_chk = [
-        sum(int(d_chk[k, j]) << (k * c) for k in range(K)) for j in range(n_chk)
+        sum(int(d_chk[k, j]) << (k * c) for k in range(K)) % BLS12_377.order
+        for j in range(n_chk)
     ]
     fn_chk = jax.jit(lambda p, d: msm_digits(ctx.adapter, p, d, c))
     got = ctx.proj.to_host(

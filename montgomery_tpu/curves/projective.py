@@ -91,10 +91,8 @@ class ProjectiveOps:
     def from_affine(self, A: AffineBatch) -> ProjectiveBatch:
         f = self.f
         one = f.bc_full(f.one_mont, A.x)
-        nz = jnp.logical_not(A.inf)
-        zero_pt = self.zero(A.count)
         P = ProjectiveBatch(A.x, A.y, one)
-        return self.select(nz, P, zero_pt)
+        return self.select(jnp.logical_not(A.inf), P, self.zero_like(P))
 
     def to_affine(self, P: ProjectiveBatch) -> AffineBatch:
         """Batch-normalize via one shared batch inversion

@@ -18,6 +18,54 @@ from ..ops import limbs as codec
 from .projective import AffineBatch, ProjectiveOps
 
 
+def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
+                       n_tables: int = 3, table_size: int = 256) -> AffineBatch:
+    """Fast random subgroup points: each output is the sum of one entry from
+    each of `n_tables` multiple-tables of random base points
+    (reference curve-random.ts randomPointsFast :14-92).
+
+    Compile-light (one small scan + gathers) — used for benchmarking at
+    2^20 scale where the sqrt path's compile cost is not worth paying.
+    """
+    import random as pyrandom
+
+    from ..bigint.weierstrass import WeierstrassCurve
+
+    rng = pyrandom.Random(seed)
+    C = WeierstrassCurve(proj.params)
+    bases = [C.random_point(rng) for _ in range(n_tables)]
+    B = proj.from_affine(proj.affine_to_device(bases))  # (n, n_tables)
+
+    @jax.jit
+    def build_tables(B):
+        def step(acc, _):
+            nxt = proj.add(acc, B)
+            return nxt, nxt
+
+        init = proj.add(B, B)  # start at 2*base (avoid zero/base duplicates)
+        _, tab = jax.lax.scan(step, init, None, length=table_size)
+        return tab  # leaves (table_size, n, n_tables)
+
+    tab = build_tables(B)
+    nprng = np.random.default_rng(seed)
+    idx = nprng.integers(0, table_size, size=(n_tables, N))
+
+    @jax.jit
+    def combine(tab, idx):
+        def pick(t):
+            sl = jax.tree.map(lambda a: a[:, :, t], tab)  # (table_size, n)
+            return jax.tree.map(
+                lambda a: jnp.take(a, idx[t], axis=0).T, sl
+            )  # (n, N)
+
+        acc = pick(0)
+        for t in range(1, n_tables):
+            acc = proj.add(acc, pick(t))
+        return proj.to_affine(acc)
+
+    return combine(tab, jnp.asarray(idx))
+
+
 def random_points_weierstrass(
     proj: ProjectiveOps, N: int, seed: int = 0, oversample: float = 2.5
 ) -> AffineBatch:

@@ -18,8 +18,8 @@ from ..curves.edwards import EdwardsOps
 from ..curves.projective import ProjectiveOps
 from ..ops.field import create_field_ops
 from ..scalar.slicing import num_windows, signed_digits
-from .adapters import EdwardsAdapter, ProjectiveAdapter
-from .pippenger import msm_digits, window_size
+from .adapters import AffineAccumAdapter, EdwardsAdapter, ProjectiveAdapter
+from .pippenger import msm_digits, msm_digits_affine, window_size
 
 
 class WeierstrassMsm:
@@ -32,6 +32,7 @@ class WeierstrassMsm:
         self.proj = ProjectiveOps(self.fops, params)
         self.affine = AffineOps(self.fops, params)
         self.adapter = ProjectiveAdapter(self.proj)
+        self.aff_adapter = AffineAccumAdapter(self.affine, self.proj)
         self.scalar_bits = params.order.bit_length()
         self.glv = None
         if params.endomorphism is not None:
@@ -41,7 +42,15 @@ class WeierstrassMsm:
         self._jits = {}
 
     # --- device entry point (traceable) ---
-    def msm_device(self, points_affine, digits, c: int, window_chunk=None):
+    def msm_device(self, points_affine, digits, c: int, window_chunk=None,
+                   affine: bool = False):
+        """affine=True uses batched-affine accumulation (reference flagship
+        path); affine=False uses complete projective accumulation."""
+        if affine:
+            return msm_digits_affine(
+                self.aff_adapter, self.adapter, points_affine, digits, c,
+                window_chunk=window_chunk,
+            )
         P = self.adapter.from_points(points_affine)
         return msm_digits(self.adapter, P, digits, c, window_chunk=window_chunk)
 
@@ -49,17 +58,18 @@ class WeierstrassMsm:
     def digits(self, scalars: list[int], c: int) -> np.ndarray:
         return signed_digits([s % self.params.order for s in scalars], self.scalar_bits, c)
 
-    def msm(self, scalars, points: list[AffinePoint], c: int | None = None) -> AffinePoint:
+    def msm(self, scalars, points: list[AffinePoint], c: int | None = None,
+            affine: bool = False) -> AffinePoint:
         N = len(points)
         assert len(scalars) == N and N > 0
         if c is None:
             c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
         d = jnp.asarray(self.digits(scalars, c))
         A = self.proj.affine_to_device(points)
-        key = (N, d.shape[0], c)
+        key = (N, d.shape[0], c, affine)
         if key not in self._jits:
             self._jits[key] = jax.jit(
-                lambda pts, dg: self.msm_device(pts, dg, c)
+                lambda pts, dg: self.msm_device(pts, dg, c, affine=affine)
             )
         S = self._jits[key](A, d)
         return self.proj.to_host(S)[0]

@@ -71,6 +71,16 @@ def msm_digits(group, points, digits: jax.Array, c: int, window_chunk: int | Non
     return reduce_buckets(group, buckets, c, K_pad, L)
 
 
+def msm_digits_affine(aff_group, proj_group, points, digits: jax.Array, c: int,
+                      window_chunk: int | None = None):
+    """MSM with batched-affine accumulation (the reference's flagship path):
+    pair-halving rounds use affine adds + shared batch inversion
+    (AffineAccumAdapter), the bucket reduction runs in complete projective
+    coordinates. points: AffineBatch."""
+    buckets, K_pad, L = bucket_accumulate(aff_group, points, digits, c, window_chunk)
+    return reduce_buckets(proj_group, aff_group.to_projective(buckets), c, K_pad, L)
+
+
 def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: int | None = None):
     """Phase 1+2 of Pippenger: sort + pair-halving bucket accumulation.
     Returns (buckets tree with leaves (n, K_pad, L), K_pad, L). On a mesh this

@@ -52,6 +52,11 @@ def test_msm_matches_oracle(which, rng):
     got = ctx.msm(sc2, pts, c=c)
     assert C.equal(got, oracle_msm(C, sc2, pts))
 
+    # batched-affine accumulation path (Weierstrass only)
+    if which == "pallas":
+        got = ctx.msm(sc, pts, c=c, affine=True)
+        assert C.equal(got, oracle_msm(C, sc, pts))
+
 
 @pytest.mark.parametrize("which", ["pallas"])
 def test_msm_identities(which, rng):
