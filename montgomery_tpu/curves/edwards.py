@@ -41,6 +41,8 @@ class EdwardsOps:
         R = fops.mp.R
         self.d_mont = codec.pack_scalar(params.d % p * R % p, fops.mp)
         self.k_mont = codec.pack_scalar(2 * params.d % p * R % p, fops.mp)  # k = 2d
+        # stable bound-method ref so the Pallas-call cache hits (ops/kernels.py)
+        self._add_f = self._add_formula
 
     # ------------------------------------------------------------- structure
 
@@ -75,7 +77,19 @@ class EdwardsOps:
 
     def add(self, P: EdwardsBatch, Q: EdwardsBatch) -> EdwardsBatch:
         """add-2008-hwcd-3, strongly unified — works for P==Q, zero, etc.
-        (reference curve-twisted-edwards.ts:84-165). 8M + 1 const-M."""
+        (reference curve-twisted-edwards.ts:84-165). 8M + 1 const-M.
+        Runs as ONE fused Pallas kernel on TPU (ops/kernels.py)."""
+        from ..ops import kernels
+
+        outs = kernels.fused(
+            "ed_add", self._add_f,
+            [P.X, P.Y, P.Z, P.T, Q.X, Q.Y, Q.Z, Q.T], [self.f.n] * 4,
+        )
+        return EdwardsBatch(*outs)
+
+    def _add_formula(self, PX, PY, PZ, PT, QX, QY, QZ, QT):
+        P = EdwardsBatch(PX, PY, PZ, PT)
+        Q = EdwardsBatch(QX, QY, QZ, QT)
         f = self.f
         k_b = f.bc_full(self.k_mont, P.T)
         # lazy internal sums: operands stay <= 8p, within the >= 6-bit
@@ -95,7 +109,7 @@ class EdwardsOps:
         G = f.add_lazy(D, C)
         H = f.add_lazy(B, A)
         X3, Y3, Z3, T3 = f.mul_list([(E, F), (G, H), (F, G), (E, H)])
-        return EdwardsBatch(X3, Y3, Z3, T3)
+        return [X3, Y3, Z3, T3]
 
     def sub(self, P: EdwardsBatch, Q: EdwardsBatch) -> EdwardsBatch:
         return self.add(P, self.neg(Q))
@@ -130,6 +144,10 @@ class EdwardsOps:
         rhs = f.add(Z4, dXXYY)
         t_ok = f.is_equal(TZ, XY)
         return f.is_equal(lhs, rhs) & t_ok
+
+    def is_in_subgroup(self, P: EdwardsBatch) -> Array:
+        """order * P == 0 (reference curve-twisted-edwards.ts isInSubgroup)."""
+        return self.is_zero(self.scale(self.params.order, P))
 
     def eq(self, P: EdwardsBatch, Q: EdwardsBatch) -> Array:
         f = self.f

@@ -61,6 +61,9 @@ class ProjectiveOps:
         self.b3_mont = codec.pack_scalar(3 * params.b % p * fops.mp.R % p, fops.mp)
         beta = params.endomorphism.beta if params.endomorphism else 0
         self.beta_mont = codec.pack_scalar(beta % p * fops.mp.R % p, fops.mp)
+        # stable bound-method refs so the Pallas-call cache hits (ops/kernels.py)
+        self._add_rcb_f = self._add_rcb_formula
+        self._dbl_rcb_f = self._dbl_rcb_formula
 
     # ------------------------------------------------------------- structure
 
@@ -145,6 +148,15 @@ class ProjectiveOps:
         return self.add_masked(P, Q)
 
     def _add_rcb(self, X1, Y1, Z1, X2, Y2, Z2) -> ProjectiveBatch:
+        from ..ops import kernels
+
+        X3, Y3, Z3 = kernels.fused(
+            "proj_add_rcb", self._add_rcb_f, [X1, Y1, Z1, X2, Y2, Z2],
+            [self.f.n] * 3,
+        )
+        return ProjectiveBatch(X3, Y3, Z3)
+
+    def _add_rcb_formula(self, X1, Y1, Z1, X2, Y2, Z2):
         # internal sums use the single-pass lazy add/sub (values grow to <= 6p,
         # covered by the >= 6-bit Montgomery slack; see FieldOps.add_lazy)
         f = self.f
@@ -176,11 +188,20 @@ class ProjectiveOps:
                 (t0_3, t3),
             ]
         )
-        return ProjectiveBatch(f.sub(Xa, Xb), f.add(Ya, Yb), f.add(Za, Zb))
+        return [f.sub(Xa, Xb), f.add(Ya, Yb), f.add(Za, Zb)]
 
     def double_rcb(self, P: ProjectiveBatch) -> ProjectiveBatch:
         """Complete doubling for a = 0 (RCB Alg. 9): 8M + 1 const-M,
         branch-free, zero-safe."""
+        from ..ops import kernels
+
+        X3, Y3, Z3 = kernels.fused(
+            "proj_dbl_rcb", self._dbl_rcb_f, [P.X, P.Y, P.Z], [self.f.n] * 3
+        )
+        return ProjectiveBatch(X3, Y3, Z3)
+
+    def _dbl_rcb_formula(self, X, Y, Z):
+        P = ProjectiveBatch(X, Y, Z)
         f = self.f
         YY, YZ, ZZ, XY = f.mul_list(
             [(P.Y, P.Y), (P.Y, P.Z), (P.Z, P.Z), (P.X, P.Y)]
@@ -197,7 +218,7 @@ class ProjectiveOps:
         Y3 = f.add(X3a, Y3a)
         (X3b,) = f.mul_list([(t0m, XY)])
         X3 = f.add(X3b, X3b)
-        return ProjectiveBatch(X3, Y3, Z3)
+        return [X3, Y3, Z3]
 
     def add_masked(self, P: ProjectiveBatch, Q: ProjectiveBatch) -> ProjectiveBatch:
         """Masked-complete add for general a (reference addOrSubtract,
@@ -293,6 +314,10 @@ class ProjectiveOps:
             (bZ3,) = f.mul_list([(bZZ, P.Z)])
         rhs = f.add(rhs, bZ3)
         return jnp.logical_or(f.is_equal(lhs, rhs), self.is_zero(P))
+
+    def is_in_subgroup(self, P: ProjectiveBatch) -> Array:
+        """order * P == 0 (reference curve-projective.ts:305-320)."""
+        return self.is_zero(self.scale(self.params.order, P))
 
     def eq(self, P: ProjectiveBatch, Q: ProjectiveBatch) -> Array:
         f = self.f

@@ -46,6 +46,22 @@ def _excl_cumsum(x):
     return jnp.concatenate([jnp.zeros((1,), dtype=x.dtype), c[:-1]])
 
 
+def _next_pow2(m: int) -> int:
+    return 1 << max(0, (m - 1).bit_length())
+
+
+def _pad_pow2(group, P, size: int, batch_shape):
+    """Pad the trailing axis from `size` to the next power of two with the
+    group identity (so pairwise tree reduction stays balanced)."""
+    target = _next_pow2(size)
+    if target == size:
+        return P
+    ident = group.zero_like((*batch_shape, target - size))
+    return jax.tree.map(
+        lambda a, z: jnp.concatenate([a, z], axis=-1), P, ident
+    )
+
+
 def _round_sizes(M0: int, G: int, max_python_rounds: int = 8):
     """Static sizes for the shrinking pair-halving rounds. Each round maps
     M elements to at most (M + #buckets)/2 survivors."""
@@ -193,35 +209,87 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
     return buckets, K_pad, L
 
 
+def _suffix_scan(group, P, size: int, batch_shape):
+    """Hillis-Steele suffix sums over the trailing axis (static unrolled:
+    `size` is small — at most 2^(c/2)). Shifted-in elements are the group
+    identity."""
+    s = 1
+    while s < size:
+        def sh(a, d=s):
+            pad = jnp.concatenate([a, jnp.zeros_like(a)], axis=-1)
+            return jax.lax.dynamic_slice_in_dim(pad, d, size, axis=a.ndim - 1)
+
+        Psh = jax.tree.map(sh, P)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (*batch_shape, size), len(batch_shape))
+        ident = group.zero_like((*batch_shape, size))
+        Psh = group.select(idx + s < size, Psh, ident)
+        P = group.add(P, Psh)
+        s <<= 1
+    return P
+
+
+def _tree_reduce_axis(group, P, size: int, axis_from_end: int):
+    """Log-depth pairwise sum over an axis (counted from the end of the
+    batch dims, e.g. 1 = second-to-last). `size` must be a power of two."""
+    m = size
+    while m > 1:
+        h = m // 2
+
+        def lo(a, h=h):
+            ax = a.ndim - 1 - axis_from_end
+            return jax.lax.slice_in_dim(a, 0, h, axis=ax)
+
+        def hi(a, h=h, m=m):
+            ax = a.ndim - 1 - axis_from_end
+            return jax.lax.slice_in_dim(a, h, m, axis=ax)
+
+        P = group.add(jax.tree.map(lo, P), jax.tree.map(hi, P))
+        m = h
+    return P
+
+
 def reduce_buckets(group, buckets, c: int, K_pad: int, L: int):
-    """Phase 3+4 of Pippenger: triangle+row bucket reduction and Horner
-    window combine. buckets: tree with leaves (n, K_pad, L)."""
-    # triangle + row, all windows at once, as two Hillis-Steele suffix scans
-    # (ONE add instantiation each — compile-friendly; reference triangle+row:
-    # msm-batched-affine.ts:556-583):
-    #   suffix[l] = sum_{j >= l} B_j ; window_sum = suffix-scan(suffix)[0]
+    """Phase 3+4 of Pippenger: bucket reduction and Horner window combine.
+    buckets: tree with leaves (n, K_pad, L); position j holds bucket l = j+1.
+
+    Work-efficient two-level reduction (O(L) group adds per window — the
+    TPU-shaped equivalent of the reference's triangle+row,
+    msm-batched-affine.ts:556-583): write j = u*S + v, then
+        sum_j (j+1) B_j = S * sum_u u*R_u + sum_v (v+1)*C_v
+    with row sums R_u = sum_v B[u,v] and column sums C_v = sum_u B[u,v],
+    both computed by log-depth pairwise trees (2*L adds); the two small
+    weighted sums use Hillis-Steele suffix scans at size U and S
+    (U*logU + S*logS adds); the factor S is log2(S) doublings."""
     log2L = max(L.bit_length() - 1, 0)
+    log2S = log2L // 2
+    S = 1 << log2S
+    U = L // S
 
-    def suffix_scan(P):
-        def body(s, T):
-            d = jnp.left_shift(jnp.int32(1), s)
+    B4 = jax.tree.map(
+        lambda a: a.reshape(*a.shape[:-1], U, S), buckets
+    )  # leaves (n, K_pad, U, S)
 
-            def sh(a):
-                pad = jnp.concatenate([a, jnp.zeros_like(a)], axis=-1)
-                return jax.lax.dynamic_slice_in_dim(pad, d, L, axis=a.ndim - 1)
+    # row sums over v -> (n, K_pad, U); column sums over u -> (n, K_pad, S)
+    R = _tree_reduce_axis(group, B4, S, axis_from_end=0)
+    R = jax.tree.map(lambda a: a.reshape(*a.shape[:-2], U), R)
+    Cs = _tree_reduce_axis(group, B4, U, axis_from_end=1)
+    Cs = jax.tree.map(lambda a: a.reshape(*a.shape[:-2], S), Cs)
 
-            Tsh = jax.tree.map(sh, T)
-            # shifted-in zeros must be the group identity, not all-zero limbs
-            idx = jax.lax.broadcasted_iota(jnp.int32, (K_pad, L), 1)
-            ident = group.zero_like((K_pad, L))
-            Tsh = group.select((idx + d < L).reshape(K_pad, L), Tsh, ident)
-            return group.add(T, Tsh)
-
-        return jax.lax.fori_loop(0, log2L, body, P)
-
-    suffix = suffix_scan(buckets)
-    totals = suffix_scan(suffix)
-    window_sums = jax.tree.map(lambda a: a[..., :1], totals)  # (n, K_pad, 1)
+    # sum_u u * R_u  =  sum over suffix sums starting at index 1
+    if U > 1:
+        Rsuf = _suffix_scan(group, R, U, (K_pad,))
+        Rsuf = jax.tree.map(lambda a: jax.lax.slice_in_dim(a, 1, U, axis=a.ndim - 1), Rsuf)
+        high = _tree_reduce_axis(group, _pad_pow2(group, Rsuf, U - 1, (K_pad,)),
+                                 _next_pow2(U - 1), axis_from_end=0)
+        # multiply by S: log2(S) doublings
+        for _ in range(log2S):
+            high = group.double(high)
+    else:
+        high = group.zero_like((K_pad, 1))
+    # sum_v (v+1) * C_v  =  sum over ALL suffix sums
+    Csuf = _suffix_scan(group, Cs, S, (K_pad,))
+    low = _tree_reduce_axis(group, Csuf, S, axis_from_end=0)
+    window_sums = group.add(high, low)  # (n, K_pad, 1)
 
     # horner combine over windows, high to low
     def horner_step(S, k):

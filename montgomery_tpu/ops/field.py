@@ -42,8 +42,92 @@ Array = jax.Array
 _UNROLL_MUL = True
 
 
+class MulCounter:
+    """Static field-multiplication cost model: counts mul instantiations and
+    lanes at TRACE time (the TPU analog of the reference's `multiplyCount`
+    wasm global, multiply-montgomery.ts:50-54 — on TPU the program is traced
+    once, so a trace-time count gives exact per-execution mul counts for
+    static shapes; lanes inside lax.scan/while bodies count once per trace).
+
+    Usage:  with MulCounter() as mc: jax.eval_shape(fn, *args)
+            print(mc.calls, mc.lanes)
+    """
+
+    _active: list = []
+
+    def __init__(self):
+        self.calls = 0
+        self.lanes = 0
+
+    def __enter__(self):
+        MulCounter._active.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        MulCounter._active.remove(self)
+        return False
+
+    @classmethod
+    def record(cls, shape):
+        if not cls._active:
+            return
+        lanes = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        for c in cls._active:
+            c.calls += 1
+            c.lanes += lanes
+
+
 def _stack(xs):
     return jnp.stack(xs, axis=0)
+
+
+def _merge_shifted(a_off, a, b_off, b):
+    """Sum of two limb vectors placed at row offsets: returns (off, vec) with
+    off = min; pure slice/add/concat — no dynamic-update-slice (XLA compiles
+    scatter/DUS chains catastrophically slowly; this tree keeps the mul's HLO
+    DUS-free)."""
+    if a_off > b_off:
+        a_off, a, b_off, b = b_off, b, a_off, a
+    d = b_off - a_off
+    la, lb = a.shape[0], b.shape[0]
+    if d >= la:
+        parts = [a]
+        if d > la:
+            parts.append(jnp.zeros((d - la, *a.shape[1:]), a.dtype))
+        parts.append(b)
+        return a_off, jnp.concatenate(parts, axis=0)
+    ov = min(la - d, lb)
+    parts = [a[:d], a[d : d + ov] + b[:ov]]
+    if la - d > ov:
+        parts.append(a[d + ov :])
+    if lb > ov:
+        parts.append(b[ov:])
+    return a_off, jnp.concatenate(parts, axis=0)
+
+
+def _conv_tree(terms, out_len: int):
+    """Balanced-tree sum of (offset, limb-vector) terms, zero-padded/truncated
+    to out_len rows. Replaces sequential .at[off:off+n].add chains."""
+    assert terms
+    items = list(terms)
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            (ao, a), (bo, b) = items[i], items[i + 1]
+            nxt.append(_merge_shifted(ao, a, bo, b))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    off, v = items[0]
+    pre = off
+    post = out_len - off - v.shape[0]
+    parts = []
+    if pre > 0:
+        parts.append(jnp.zeros((pre, *v.shape[1:]), v.dtype))
+    parts.append(v if post >= 0 else v[: out_len - off])
+    if post > 0:
+        parts.append(jnp.zeros((post, *v.shape[1:]), v.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 @dataclass(frozen=True, eq=False)
@@ -247,55 +331,37 @@ class FieldOps:
         adds <= 2 products + carry slack per container (see module docstring)."""
         return max(1, (1 << (30 - 2 * self.w)) - 1)
 
-    # Toeplitz constants for the dot-form Montgomery multiply (lazy-built)
-    def _dot_consts(self):
-        cache = self.__dict__.setdefault("_dot_cache", None)
-        if cache is None:
-            n, w = self.n, self.w
-            mask = self.mask
-            # mu_full = -p^{-1} mod R, full n limbs
-            mu_full = (-pow(self.p, -1, self.mp.R)) % self.mp.R
-            mu_limbs = to_limbs(mu_full, w, n)
-            p_limbs = to_limbs(self.p, w, n)
-            # Mu[i, k] = mu_{k-i} for 0 <= k-i < n, k in [0, n)
-            Mu = np.zeros((n, n), dtype=np.int32)
-            Pt = np.zeros((n, 2 * n - 1), dtype=np.int32)
-            for i in range(n):
-                for k in range(n):
-                    if 0 <= k - i < n:
-                        Mu[i, k] = mu_limbs[k - i]
-                for k in range(2 * n - 1):
-                    if 0 <= k - i < n:
-                        Pt[i, k] = p_limbs[k - i]
-            # gather index/mask for the batched product x*y
-            ki = np.arange(2 * n - 1)[None, :] - np.arange(n)[:, None]  # (n, 2n-1)
-            valid = (ki >= 0) & (ki < n)
-            ki = np.clip(ki, 0, n - 1).astype(np.int32)
-            cache = (Mu, Pt, ki, valid)
-            object.__setattr__(self, "_dot_cache", cache)
-        return cache
-
     def _mul_dot(self, x: Array, y: Array) -> Array:
-        """Full-word Montgomery multiply in dot/einsum form: the whole
-        schoolbook product is ONE contraction (z_k = sum_{i+j=k} x_i y_j),
-        the Montgomery quotient q = T*mu mod R and q*p are matmuls against
-        static Toeplitz matrices. ~10x fewer HLO ops than the row-by-row
-        CIOS loop and far shorter dependency chains; requires n*2^(2w) < 2^31
-        (w <= 13 at 384-bit sizes)."""
+        """Full-word Montgomery multiply in shifted-accumulate form: the
+        schoolbook product T_k = sum_{i+j=k} x_i y_j is n adds of x_i * y
+        into a sliding (2n, batch) accumulator, then ONE carry pass covers
+        the whole product (the reference's deferred-carry idea taken to its
+        limit, wasm/multiply-montgomery.ts:44-48); the Montgomery quotient
+        q = T*mu mod R and the correction q*p are the same loops against
+        python-constant limbs. Intermediates stay (2n, batch) — never
+        (n, 2n-1, batch). Requires n*2^(2w) < 2^31 (w <= 13 at 384 bits)."""
         n, w = self.n, self.w
-        Mu, Pt, ki, valid = self._dot_consts()
-        vm = jnp.asarray(valid.reshape(valid.shape + (1,) * (y.ndim - 1)))
-        # Y[i, k] = y[k - i] (0 where out of range): (n, 2n-1, *batch)
-        Y = jnp.where(vm, y[jnp.asarray(ki)], 0)
-        T = jnp.einsum("i...,ik...->k...", x, Y)  # (2n-1, *batch), limbs < n*2^2w
-        T = jnp.concatenate([T, jnp.zeros_like(T[:1])], axis=0)  # (2n, *batch)
-        Tc = self.carry_wide(T)
-        q = jnp.einsum("i...,ik->k...", Tc[:n], jnp.asarray(Mu))  # mod R implicit
-        q = self._ks_carry_any(q, bound=n << (2 * w))
-        M = jnp.einsum("i...,ik->k...", q, jnp.asarray(Pt))  # (2n-1, *batch)
-        M = jnp.concatenate([M, jnp.zeros_like(M[:1])], axis=0)
-        Z = self.carry_wide(Tc + M)  # low n limbs are exactly 0
+        mu_limbs = self._mu_full_limbs()
+        p_limbs = [int(v) for v in np.asarray(self.p_limbs).reshape(-1)]
+
+        T = _conv_tree([(i, x[i] * y) for i in range(n)], 2 * n)
+        Tc = self.carry_wide(T, bound=n << (2 * w))
+        # q_k = sum_{i+j=k, k<n} Tc_i * mu_j  (mod R: only k < n kept)
+        q = _conv_tree(
+            [(j, Tc[: n - j] * mj) for j, mj in enumerate(mu_limbs) if mj], n
+        )
+        q = self.carry_wide(q, bound=n << (2 * w))
+        M = _conv_tree([(j, q * pj) for j, pj in enumerate(p_limbs) if pj], 2 * n)
+        Z = self.carry_wide(Tc + M, bound=(2 * n) << (2 * w))  # low n limbs = 0
         return Z[n:]
+
+    def _mu_full_limbs(self):
+        cache = self.__dict__.get("_mu_cache")
+        if cache is None:
+            mu_full = (-pow(self.p, -1, self.mp.R)) % self.mp.R
+            cache = to_limbs(mu_full, self.w, self.n)
+            object.__setattr__(self, "_mu_cache", cache)
+        return cache
 
     def carry_wide(self, S: Array, bound: int = 1 << 31) -> Array:
         """carry() for arbitrary limb count (2n for double-width products)."""
@@ -327,6 +393,7 @@ class FieldOps:
         wasm/multiply-montgomery.ts:58-136; rolled-vs-unrolled discussion
         doc/zprize22.md:201-205).
         """
+        MulCounter.record(y.shape)
         if self.n * (1 << (2 * self.w)) < (1 << 31):
             return self._mul_dot(x, y)
         n, w, mask = self.n, self.w, self.mask

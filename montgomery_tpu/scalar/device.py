@@ -1,0 +1,311 @@
+"""Device-side scalar pipeline: packed bytes -> limbs -> GLV halves -> signed
+window digits, fully vectorized over the scalar batch (no per-scalar Python).
+
+TPU re-design of the reference's scalar Wasm module (scalar-glv.ts:19-51 +
+wasm/glv.ts glvGeneral + wasm/field-helpers.ts extractBitSlice): the per-
+pointer Wasm calls become jnp ops over int32 limb planes (n_limbs, N).
+
+The GLV decomposition uses truncated most-significant-limb multiplication
+with precomputed fixed-point reciprocals (the reference's multiplyMsb /
+findMsbCutoff technique, wasm/glv.ts:35-229 + wasm/barrett.ts:219-254),
+re-derived for int32 limb planes:
+
+    c_i = floor(s * g_i / 2^m),   g_i = floor(2^m * |v_i| / |det|)
+
+with two guard limbs in the truncated convolution, so c_i differs from the
+exact rounded lattice coefficient by at most 2; the residual bound grows
+accordingly (see GlvDevice.max_bits_eff).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bigint.util import ceil_div, to_limbs
+from .glv import GlvParams
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------------
+# numpy ingestion: bytes / ints -> limb planes (vectorized, no per-scalar loop)
+# --------------------------------------------------------------------------
+
+
+def bytes_to_limbs_np(data: bytes | np.ndarray, n_bytes: int, w: int, n_limbs: int) -> np.ndarray:
+    """Packed little-endian bytes (N elements x n_bytes each) -> (n_limbs, N)
+    int32 limb planes, vectorized over N (analog of fromPackedBytes,
+    wasm/field-helpers.ts:211-260)."""
+    B = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, n_bytes)
+    N = B.shape[0]
+    out = np.zeros((n_limbs, N), dtype=np.int32)
+    mask = (1 << w) - 1
+    for j in range(n_limbs):
+        off = j * w
+        s, r = off // 8, off % 8
+        if s >= n_bytes:
+            break
+        val = (B[:, s].astype(np.int32) >> r)
+        have = 8 - r
+        t = 1
+        while have < w and s + t < n_bytes:
+            val = val | (B[:, s + t].astype(np.int32) << have)
+            have += 8
+            t += 1
+        out[j] = val & mask
+    return out
+
+
+def ints_to_limbs_np(values, bits: int, w: int, n_limbs: int | None = None) -> np.ndarray:
+    """Python ints -> (n_limbs, N) int32 limb planes (via a single bytes blob)."""
+    if n_limbs is None:
+        n_limbs = ceil_div(bits, w)
+    nb = ceil_div(bits, 8)
+    blob = b"".join(int(v).to_bytes(nb, "little") for v in values)
+    return bytes_to_limbs_np(blob, nb, w, n_limbs)
+
+
+# --------------------------------------------------------------------------
+# generic device limb arithmetic (standalone; any limb count)
+# --------------------------------------------------------------------------
+
+
+def _shift_down(a: Array, d: int) -> Array:
+    if d == 0:
+        return a
+    if d >= a.shape[0]:
+        return jnp.zeros_like(a)
+    return jnp.concatenate([jnp.zeros_like(a[:d]), a[:-d]], axis=0)
+
+
+def ks_carry(S: Array, w: int, bound: int) -> Array:
+    """Carry propagation for NON-NEGATIVE limbs (value taken mod 2^(len*w)):
+    staged squeeze to single-bit carries, then Kogge-Stone. Same scheme as
+    FieldOps.carry_wide, standalone for arbitrary limb counts."""
+    mask = (1 << w) - 1
+    B = bound
+    while B >= (1 << (w + 1)):
+        S = (S & mask) + _shift_down(S >> w, 1)
+        B = mask + (B >> w) + 1
+    n = S.shape[0]
+    g = S >> w
+    r = S & mask
+    p = r == mask
+    d = 1
+    while d < n:
+        g = g | jnp.where(p, _shift_down(g, d), 0)
+        p = p & _shift_down(p, d)
+        d <<= 1
+    return (r + _shift_down(g, 1)) & mask
+
+
+def carry_signed(S: Array, w: int, n_passes: int) -> Array:
+    """Ripple carry/borrow passes for SIGNED limbs; result limbs in [0, 2^w)
+    interpreting the value mod 2^(len*w) (two's complement). jnp >> on int32
+    is arithmetic, & extracts low bits, so each pass preserves the value."""
+    mask = (1 << w) - 1
+    for _ in range(n_passes):
+        S = (S & mask) + _shift_down(S >> w, 1)
+    return S & mask
+
+
+def conv_mul_const(x: Array, y_limbs, w: int, k_lo: int = 0, k_hi: int | None = None) -> Array:
+    """Truncated product of a limb-plane batch x (a, N) with a constant
+    (python limb list y, length b): output limbs k in [k_lo, k_hi) of the
+    full (a+b)-limb schoolbook product, carried. Truncation drops carry-in
+    from below k_lo — callers must budget for an error of up to
+    min(a,b) * 2^w at limb k_lo (the reference's findMsbCutoff analysis,
+    wasm/barrett.ts:219-254)."""
+    a = x.shape[0]
+    b = len(y_limbs)
+    if k_hi is None:
+        k_hi = a + b
+    out_len = k_hi - k_lo
+    T = jnp.zeros((out_len, *x.shape[1:]), dtype=jnp.int32)
+    nterms = 0
+    for j, yj in enumerate(y_limbs):
+        yj = int(yj)
+        if yj == 0:
+            continue
+        # x[i] contributes to limb i + j: keep i in [k_lo - j, k_hi - j)
+        i0 = max(0, k_lo - j)
+        i1 = min(a, k_hi - j)
+        if i0 >= i1:
+            continue
+        o0 = i0 + j - k_lo
+        T = T.at[o0 : o0 + (i1 - i0)].add(x[i0:i1] * yj)
+        nterms += 1
+    bound = max(1, nterms) << (2 * w)
+    assert bound < (1 << 31), "limb size too large for int32 accumulation"
+    return ks_carry(T, w, bound)
+
+
+def twos_complement_abs(S: Array, w: int) -> tuple[Array, Array]:
+    """Canonical two's-complement limbs (n, N) in [0,2^w) -> (|value|, neg
+    mask). The value must fit in n*w - 1 bits (sign = top bit of top limb)."""
+    n = S.shape[0]
+    neg = (S[n - 1] >> (w - 1)) > 0
+    mask = (1 << w) - 1
+    comp = (mask - S).at[0].add(1)
+    comp = carry_signed(comp, w, n)
+    return jnp.where(neg[None], comp, S), neg
+
+
+# --------------------------------------------------------------------------
+# signed window digits on device
+# --------------------------------------------------------------------------
+
+
+def extract_windows(limbs: Array, w: int, b_bits: int, c: int) -> Array:
+    """(nl, N) w-bit limbs -> (K, N) unsigned c-bit windows, K = ceil((b+1)/c)
+    (analog of extractBitSlice, wasm/field-helpers.ts:307-358; shifts are
+    static per window so the whole extraction is K fused gathers+shifts)."""
+    nl = limbs.shape[0]
+    K = ceil_div(b_bits + 1, c)
+    cmask = (1 << c) - 1
+    rows = []
+    for k in range(K):
+        off = k * c
+        l0, sh = off // w, off % w
+        if l0 >= nl:
+            rows.append(jnp.zeros_like(limbs[0]))
+            continue
+        val = limbs[l0] >> sh
+        have = w - sh
+        t = 1
+        while have < c and l0 + t < nl:
+            val = val | ((limbs[l0 + t] & ((1 << min(w, c - have)) - 1)) << have)
+            have += w
+            t += 1
+        rows.append(val & cmask)
+    return jnp.stack(rows, axis=0)
+
+
+def signed_digits_device(limbs: Array, w: int, b_bits: int, c: int,
+                         sign: Array | None = None) -> Array:
+    """(nl, N) limbs -> (K, N) signed digits in [-2^(c-1), 2^(c-1)]; if
+    `sign` (N,) of +-1 is given every digit is multiplied by it (folding a
+    scalar's sign into its digits). Mirrors the signed-digit carry loop
+    (msm-batched-affine.ts:180-203)."""
+    d = extract_windows(limbs, w, b_bits, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+
+    def step(carry, dk):
+        dk = dk + carry
+        over = (dk > half).astype(jnp.int32)
+        return over, dk - over * full
+
+    carry, d = jax.lax.scan(step, jnp.zeros_like(d[0]), d)
+    # carry must be 0 for b_bits-bit values with K = ceil((b+1)/c) windows
+    if sign is not None:
+        d = d * sign[None, :]
+    return d
+
+
+# --------------------------------------------------------------------------
+# GLV decomposition on device
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GlvDevice:
+    """Precomputed constants for the device GLV decompose at limb size w."""
+
+    g: GlvParams
+    w: int
+    ns: int  # limbs of an input scalar (covers bit_length(q))
+    m_limbs: int  # fixed-point shift in limbs (m = m_limbs * w)
+    k0: int  # truncated-conv start limb (m_limbs - 2 guard limbs)
+    nu: int  # limbs of the lattice coefficients c1, c2
+    nw: int  # limbs of the two's-complement residual accumulators
+    g1_limbs: tuple  # floor(2^m * |v11| / |det|)
+    g2_limbs: tuple  # floor(2^m * |v10| / |det|)
+    sgn1: int  # sign of v11/det  (c1 = sgn1 * u1)
+    sgn2: int  # sign of -v10/det (c2 = sgn2 * u2)
+    # s0 = s - c1*v00 - c2*v01 ; s1 = -c1*v10 - c2*v11  (exact ints)
+    coef0: tuple  # (-sgn1*v00, -sgn2*v01)
+    coef1: tuple  # (-sgn1*v10, -sgn2*v11)
+    max_bits_eff: int  # rigorous |s0|,|s1| bound incl. truncation slack
+
+
+def glv_device(g: GlvParams, w: int = 12) -> GlvDevice:
+    bq = g.q.bit_length()
+    ns = ceil_div(bq, w)
+    m_limbs = ns + 1  # 2^m >= 2^(bq + w) so s/2^m << 1
+    m = m_limbs * w
+    det = abs(g.det)
+    r1_num, r2_num = g.v11, -g.v10
+    if g.det < 0:
+        r1_num, r2_num = -r1_num, -r2_num
+    sgn1 = 1 if r1_num >= 0 else -1
+    sgn2 = 1 if r2_num >= 0 else -1
+    g1 = (1 << m) * abs(r1_num) // det
+    g2 = (1 << m) * abs(r2_num) // det
+    nu = ceil_div(g.max_bits + 4, w)
+    ng = ceil_div(max(g1.bit_length(), g2.bit_length(), 1), w)
+    # c_i error budget: fixed-point floor (<=1) + rounding-vs-floor (<=1/2)
+    # + truncated-conv carry loss (< 1 with 2 guard limbs) => |c_i - round| <= 2,
+    # so |s0| <= 2^max_bits + 2*(|v00|+|v01|) and similarly s1.
+    b0 = (1 << g.max_bits) + 2 * (abs(g.v00) + abs(g.v01))
+    b1 = (1 << g.max_bits) + 2 * (abs(g.v10) + abs(g.v11))
+    max_bits_eff = max(b0.bit_length(), b1.bit_length())
+    nw = ceil_div(max_bits_eff + 2, w)
+    return GlvDevice(
+        g=g, w=w, ns=ns, m_limbs=m_limbs, k0=m_limbs - 2, nu=nu, nw=nw,
+        g1_limbs=tuple(to_limbs(g1, w, ng)),
+        g2_limbs=tuple(to_limbs(g2, w, ng)),
+        sgn1=sgn1, sgn2=sgn2,
+        coef0=(-sgn1 * g.v00, -sgn2 * g.v01),
+        coef1=(-sgn1 * g.v10, -sgn2 * g.v11),
+        max_bits_eff=max_bits_eff,
+    )
+
+
+def decompose_device(gd: GlvDevice, s_limbs: Array) -> tuple[Array, Array, Array, Array]:
+    """Vectorized GLV decompose: s (ns, N) -> (|s0|, sign0, |s1|, sign1) with
+    s0 + s1*lambda = s (mod q), |s_i| < 2^max_bits_eff.
+    (reference wasm/glv.ts:35-229 glvGeneral)"""
+    w, nw = gd.w, gd.nw
+
+    def msb_mul(glimbs):
+        # u = floor(s * g / 2^m), truncated conv from limb k0 (2 guard limbs)
+        T = conv_mul_const(s_limbs, glimbs, w, k_lo=gd.k0,
+                           k_hi=gd.m_limbs + gd.nu)
+        return T[gd.m_limbs - gd.k0 :]  # (nu, N)
+
+    u1 = msb_mul(gd.g1_limbs)
+    u2 = msb_mul(gd.g2_limbs)
+
+    def residual(coefs, include_s):
+        # value = (include_s ? s : 0) + coef[0]*u1 + coef[1]*u2, mod 2^(nw*w)
+        acc = jnp.zeros((nw, *s_limbs.shape[1:]), dtype=jnp.int32)
+        if include_s:
+            acc = acc.at[: min(nw, gd.ns)].add(s_limbs[: min(nw, gd.ns)])
+        for coef, u in ((coefs[0], u1), (coefs[1], u2)):
+            if coef == 0:
+                continue
+            limbs = to_limbs(abs(coef), w, ceil_div(abs(coef).bit_length(), w) or 1)
+            T = conv_mul_const(u, limbs, w, k_lo=0, k_hi=nw)  # (nw, N), low part
+            acc = acc + (T if coef > 0 else -T)
+        acc = carry_signed(acc, w, nw + 2)
+        return twos_complement_abs(acc, w)
+
+    a0, n0 = residual(gd.coef0, include_s=True)
+    a1, n1 = residual(gd.coef1, include_s=False)
+    return a0, n0, a1, n1
+
+
+def digits_glv_device(gd: GlvDevice, s_limbs: Array, c: int) -> Array:
+    """(ns, N) scalar limbs -> (K, 2N) signed digits for the GLV-expanded
+    point list [P..., phi(P)...] (column i: digits of s0_i; column N+i:
+    digits of s1_i). Fully on device."""
+    a0, n0, a1, n1 = decompose_device(gd, s_limbs)
+    mags = jnp.concatenate([a0, a1], axis=-1)
+    sign = jnp.concatenate([n0, n1], axis=-1)
+    sgn = jnp.where(sign, -1, 1).astype(jnp.int32)
+    return signed_digits_device(mags, gd.w, gd.max_bits_eff, c, sign=sgn)

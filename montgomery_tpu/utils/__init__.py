@@ -1,0 +1,4 @@
+"""Utilities: phase timing logs, memory watermarks."""
+
+from .memory import device_memory_stats, print_max_size_used
+from .timing import PhaseLog, tic, toc
