@@ -53,8 +53,7 @@ class AffineOps:
         xx = f.square(x)
         num = f.add(f.add(xx, xx), xx)
         if not self.a_is_zero:
-            one = self.f.bc_full(self.f.one_mont, x)
-            num = f.add(num, f.mul_const(one, self.a_mont))
+            num = f.add(num, f.bc_full(self.a_mont, x))
         return num
 
     def batch_add(self, G: AffineBatch, H: AffineBatch) -> AffineBatch:
@@ -121,6 +120,5 @@ class AffineOps:
         rhs = f.mul(f.square(A.x), A.x)
         if not self.a_is_zero:
             rhs = f.add(rhs, f.mul_const(A.x, self.a_mont))
-        one = f.bc_full(f.one_mont, A.x)
-        rhs = f.add(rhs, f.mul_const(one, self.b_mont))
+        rhs = f.add(rhs, f.bc_full(self.b_mont, A.x))
         return f.is_equal(f.square(A.y), rhs) | A.inf

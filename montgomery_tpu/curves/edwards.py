@@ -91,17 +91,16 @@ class EdwardsOps:
         P = EdwardsBatch(PX, PY, PZ, PT)
         Q = EdwardsBatch(QX, QY, QZ, QT)
         f = self.f
-        k_b = f.bc_full(self.k_mont, P.T)
         # lazy internal sums: operands stay <= 8p, within the >= 6-bit
         # Montgomery slack (see FieldOps.add_lazy bound analysis)
-        A, B, kT1, ZZ = f.mul_list(
+        A, B, ZZ = f.mul_list(
             [
                 (f.sub_lazy(P.Y, P.X), f.sub_lazy(Q.Y, Q.X)),
                 (f.add_lazy(P.Y, P.X), f.add_lazy(Q.Y, Q.X)),
-                (k_b, P.T),
                 (P.Z, Q.Z),
             ]
         )
+        kT1 = f.mul_const(P.T, self.k_mont)  # k = 2d, limbs inlined
         (C,) = f.mul_list([(kT1, Q.T)])
         D = f.add_lazy(ZZ, ZZ)
         E = f.sub_lazy(B, A)
@@ -172,15 +171,11 @@ class EdwardsOps:
 
     def to_host(self, P: EdwardsBatch) -> list[EdwardsPoint]:
         cache = self.__dict__.setdefault("_jit_cache", {})
-        fn = cache.setdefault(
-            "normalize",
-            jax.jit(
-                lambda q: (
-                    self.f.mul(q.X, self.f.batch_inv(q.Z)),
-                    self.f.mul(q.Y, self.f.batch_inv(q.Z)),
-                )
-            ),
-        )
+        def normalize(q):
+            zinv = self.f.batch_inv(q.Z)
+            return self.f.mul(q.X, zinv), self.f.mul(q.Y, zinv)
+
+        fn = cache.setdefault("normalize", jax.jit(normalize))
         xm, ym = fn(P)
         xs = self.f.unpack(xm, from_mont=True)
         ys = self.f.unpack(ym, from_mont=True)

@@ -173,8 +173,8 @@ class ProjectiveOps:
         t3 = f.sub_lazy(m0, f.add_lazy(t0, t1))  # X1Y2 + X2Y1 (+4p)
         t4 = f.sub_lazy(m1, f.add_lazy(t1, t2))  # Y1Z2 + Y2Z1 (+4p)
         t5 = f.sub_lazy(m2, f.add_lazy(t0, t2))  # X1Z2 + X2Z1 (+4p)
-        b3 = f.bc_full(self.b3_mont, t2)
-        t2b, Y3b = f.mul_list([(b3, t2), (b3, t5)])  # 3b Z1Z2, 3b(X1Z2+X2Z1)
+        t2b = f.mul_const(t2, self.b3_mont)  # 3b Z1Z2
+        Y3b = f.mul_const(t5, self.b3_mont)  # 3b (X1Z2 + X2Z1)
         t0_3 = f.add_lazy(f.add_lazy(t0, t0), t0)  # 3 X1X2
         Z3s = f.add_lazy(t1, t2b)  # Y1Y2 + 3b Z1Z2
         t1m = f.sub_lazy(t1, t2b)  # Y1Y2 - 3b Z1Z2 (+4p)
@@ -210,8 +210,7 @@ class ProjectiveOps:
         Z3d = f.add(t0, t0)
         Z3d = f.add(Z3d, Z3d)  # 4 Y^2, reduced to keep bounds small
         Z3d = f.add_lazy(Z3d, Z3d)  # 8 Y^2, < 4p
-        b3 = f.bc_full(self.b3_mont, ZZ)
-        (t2,) = f.mul_list([(b3, ZZ)])  # 3b Z^2
+        t2 = f.mul_const(ZZ, self.b3_mont)  # 3b Z^2
         Y3t = f.add_lazy(t0, t2)  # < 4p
         t0m = f.sub_lazy(t0, f.add(f.add(t2, t2), t2))  # Y^2 - 9bZ^2 + 4p < 6p
         X3a, Z3, Y3a = f.mul_list([(t2, Z3d), (YZ, Z3d), (t0m, Y3t)])

@@ -91,8 +91,7 @@ def random_points_weierstrass(
         rhs, = f.mul_list([(xx, Xm)])
         if not proj.a_is_zero:
             rhs = f.add(rhs, f.mul_const(Xm, proj.a_mont))
-        one = f.bc_full(f.one_mont, Xm)
-        rhs = f.add(rhs, f.mul_const(one, proj.b_mont))
+        rhs = f.add(rhs, f.bc_full(proj.b_mont, Xm))
         y, ok = f.sqrt(rhs)
         return Xm, y, ok
 

@@ -198,14 +198,16 @@ class FieldOps:
         """Kogge-Stone carry propagation for limbs in [0, 2^(w+1)):
         log2(n) parallel steps instead of an n-step sequential chain.
         Any carry out of the top limb is dropped (arithmetic is mod R).
-        TPU-shaped replacement for wasm/field-helpers.ts carry (:99-164)."""
+        TPU-shaped replacement for wasm/field-helpers.ts carry (:99-164).
+        Masks stay int32 0/1 (NOT bool): Mosaic cannot concatenate/shift
+        i1 vectors, and these run inside Pallas kernels."""
         w, mask, n = self.w, self.mask, self.n
         g = S >> w  # 0/1: generate
         r = S & mask
-        p = r == mask  # propagate
+        p = jnp.where(r == mask, 1, 0)  # propagate, int32 0/1
         d = 1
         while d < n:
-            g = g | jnp.where(p, self._shift_down(g, d), 0)
+            g = g | (p & self._shift_down(g, d))
             p = p & self._shift_down(p, d)
             d <<= 1
         cin = self._shift_down(g, 1)
@@ -228,19 +230,20 @@ class FieldOps:
 
     def _sub_limbs(self, x: Array, y: Array):
         """Limb-wise x - y for canonical inputs via Kogge-Stone borrow
-        propagation; returns (diff_limbs mod R, underflow_bool)."""
+        propagation; returns (diff_limbs mod R, underflow_bool).
+        Masks are int32 0/1 (Mosaic cannot shift i1 vectors)."""
         n = self.n
         d0 = x - y  # in (-2^w, 2^w)
-        g = d0 < 0  # borrow generate
-        p = d0 == 0  # borrow propagate
+        g = (d0 >> 31) & 1  # borrow generate (sign bit), int32 0/1
+        p = jnp.where(d0 == 0, 1, 0)  # borrow propagate
         d = 1
         while d < n:
             g = g | (p & self._shift_down(g, d))
             p = p & self._shift_down(p, d)
             d <<= 1
-        bin_ = self._shift_down(g, 1).astype(jnp.int32)
+        bin_ = self._shift_down(g, 1)
         out = (d0 - bin_) & self.mask
-        return out, g[n - 1]
+        return out, g[n - 1] != 0
 
     @staticmethod
     def _sel(cond: Array, a: Array, b: Array) -> Array:
@@ -344,7 +347,15 @@ class FieldOps:
         mu_limbs = self._mu_full_limbs()
         p_limbs = [int(v) for v in np.asarray(self.p_limbs).reshape(-1)]
 
-        T = _conv_tree([(i, x[i] * y) for i in range(n)], 2 * n)
+        if isinstance(x, tuple):
+            # constant operand: limbs are python-int literals (zero limbs
+            # skipped; also avoids (1,1)->(n,B) vreg broadcasts Mosaic rejects)
+            terms = [(i, xi * y) for i, xi in enumerate(x) if xi]
+            if not terms:
+                return jnp.zeros_like(y)
+            T = _conv_tree(terms, 2 * n)
+        else:
+            T = _conv_tree([(i, x[i] * y) for i in range(n)], 2 * n)
         Tc = self.carry_wide(T, bound=n << (2 * w))
         # q_k = sum_{i+j=k, k<n} Tc_i * mu_j  (mod R: only k < n kept)
         q = _conv_tree(
@@ -374,10 +385,10 @@ class FieldOps:
             B = mask + (B >> w) + 1
         g = S >> w
         r = S & mask
-        p = r == mask
+        p = jnp.where(r == mask, 1, 0)  # int32 0/1 (no i1 vectors in Mosaic)
         d = 1
         while d < n_total:
-            g = g | jnp.where(p, self._shift_down(g, d), 0)
+            g = g | (p & self._shift_down(g, d))
             p = p & self._shift_down(p, d)
             d <<= 1
         return (r + self._shift_down(g, 1)) & mask
@@ -388,7 +399,28 @@ class FieldOps:
     def mul(self, x: Array, y: Array) -> Array:
         """Montgomery product x*y/R mod p; in/out in [0, 2p).
 
-        Dot/einsum full-word form when n*2^(2w) fits int32 (default w=12),
+        On TPU (outside an enclosing kernel) this is ONE cached Pallas
+        kernel — the standalone analog of the reference's exported wasm
+        `multiply` (field-msm.ts exports); code paths that cannot be fused
+        whole (batch_inv tree, exp chains, sqrt) stay compile-light because
+        every mul is the same custom call. Inside fused group kernels the
+        formula inlines into the enclosing kernel trace."""
+        from . import kernels
+
+        if kernels.use_pallas() and x.shape == y.shape:
+            return kernels.fused("mont_mul", self._mul_formula_f, [x, y],
+                                 [self.n])[0]
+        return self._mul_impl(x, y)
+
+    def _mul_formula(self, x: Array, y: Array):
+        return [self._mul_impl(x, y)]
+
+    @property
+    def _mul_formula_f(self):
+        return self._mul_formula
+
+    def _mul_impl(self, x: Array, y: Array) -> Array:
+        """Dot/einsum full-word form when n*2^(2w) fits int32 (default w=12),
         else CIOS with deferred carries (reference
         wasm/multiply-montgomery.ts:58-136; rolled-vs-unrolled discussion
         doc/zprize22.md:201-205).
@@ -439,9 +471,14 @@ class FieldOps:
 
         This is the main compile-time/runtime lever for curve formulas: a
         projective add is 4 mul_list calls instead of 14 scalar muls — fewer
-        XLA loops, wider vectors."""
-        if len(pairs) == 1:
-            return [self.mul(*pairs[0])]
+        XLA loops, wider vectors. Inside an enclosing Pallas kernel the
+        concatenation buys nothing (the kernel is one fused dataflow) and
+        Mosaic's lane-axis concatenate is layout-fragile — multiply pairs
+        separately there."""
+        from . import kernels
+
+        if len(pairs) == 1 or kernels._IN_KERNEL:
+            return [self.mul(a, b) for a, b in pairs]
         xs = jnp.concatenate([a for a, _ in pairs], axis=-1)
         ys = jnp.concatenate([b for _, b in pairs], axis=-1)
         z = self.mul(xs, ys)
@@ -460,16 +497,44 @@ class FieldOps:
 
     def to_montgomery(self, x: Array) -> Array:
         """x -> x*R mod p (mont-mul by R^2; reference field-msm.ts:179-182)."""
-        return self.mul(x, self.bc_full(self.r2_limbs, x))
+        return self.mul_const(x, self.r2_limbs)
 
     def from_montgomery(self, x: Array) -> Array:
         """x*R -> x mod p in [0, p) (mont-mul by 1 + reduce; field-msm.ts:183-186)."""
-        one = jnp.zeros_like(x).at[0].set(1)
-        return self.reduce(self.mul(x, one))
+        return self.reduce(self._mul_const_via_cache(x, 1))
+
+    def _mul_const_via_cache(self, x: Array, value: int) -> Array:
+        plane = codec.pack_scalar(value % self.p, self.mp)
+        return self.mul_const(x, plane)
 
     def mul_const(self, x: Array, c_mont: np.ndarray) -> Array:
-        """Multiply by a precomputed Montgomery-form constant plane (n, 1)."""
-        return self.mul(x, self.bc_full(c_mont, x))
+        """Montgomery-multiply by a precomputed constant plane (n, 1).
+
+        The constant's limbs are inlined into the trace as scalar literals
+        (zero limbs skipped), so no constant array rides into the kernel.
+        Cached per constant so the Pallas call cache hits."""
+        from . import kernels
+
+        key = np.asarray(c_mont).tobytes()
+        cache = self.__dict__.setdefault("_cmul_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            limbs = tuple(int(v) for v in np.asarray(c_mont).reshape(-1))
+
+            def fn(y, _limbs=limbs):
+                return [self._mul_const_impl(y, _limbs)]
+
+            cache[key] = fn
+        if kernels.use_pallas():
+            return kernels.fused("mul_const", fn, [x], [self.n])[0]
+        return fn(x)[0]
+
+    def _mul_const_impl(self, y: Array, c_limbs: tuple) -> Array:
+        MulCounter.record(y.shape)
+        if self.n * (1 << (2 * self.w)) < (1 << 31):
+            return self._mul_dot(c_limbs, y)
+        arr = np.array(c_limbs, dtype=np.int32).reshape(self.n, 1)
+        return self._mul_impl(self.bc_full(arr, y), y)
 
     def left_shift(self, x: Array, k: int) -> Array:
         """x * 2^k mod p (reference multiply-montgomery.ts:224-296). Implemented

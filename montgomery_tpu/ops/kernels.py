@@ -30,8 +30,10 @@ import numpy as np
 Array = jax.Array
 
 # lanes per grid step; (rows, TILE) blocks with rows = n_limbs (mult of 8 via
-# padding inside mosaic; int32 min tile is (8, 128))
-TILE = 1024
+# padding inside mosaic; int32 min tile is (8, 128)). 512 keeps the biggest
+# kernel (RCB add: 6 in + 3 out + ~40 live intermediates) inside the ~16MB
+# scoped-VMEM budget of one TPU core.
+TILE = 512
 
 # None = auto (pallas on TPU, inline elsewhere); True/False force.
 _FORCE: bool | None = None
@@ -66,36 +68,88 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
+def _trace_formula(fn, in_rows: tuple):
+    """Trace `fn` ONCE at the (rows, TILE) block shape and hoist every
+    captured constant (numpy constant planes like p/2p/b3 from FieldOps)
+    out of the jaxpr, so they can be passed to pallas_call as explicit
+    inputs — pl.pallas_call rejects kernels that close over array
+    constants (the round-1 TPU crash)."""
+    global _IN_KERNEL
+    avals = [jax.ShapeDtypeStruct((r, TILE), jnp.int32) for r in in_rows]
+    _IN_KERNEL = True  # nested fused() calls must inline into this trace
+    try:
+        closed = jax.make_jaxpr(fn)(*avals)
+    finally:
+        _IN_KERNEL = False
+    consts = [np.asarray(c) for c in closed.consts]
+    return closed.jaxpr, consts
+
+
+def _pack_const(c: np.ndarray):
+    """Constant -> (lane-padded 2-D array, restore_fn). The padded form is a
+    legal VMEM block ((rows, >=128)); restore_fn recovers the original
+    shape/dtype from the loaded block inside the kernel."""
+    shape, dtype = c.shape, c.dtype
+    if c.ndim >= 2:
+        rows, cols = int(np.prod(shape[:-1])), shape[-1]
+    elif c.ndim == 1:
+        rows, cols = 1, shape[0]
+    else:
+        rows, cols = 1, 1
+    c2 = c.reshape(rows, cols)
+    if dtype == np.bool_:
+        c2 = c2.astype(np.int32)
+    cols_pad = max(_ceil_to(cols, 128), 128)
+    if cols_pad != cols:
+        c2 = np.pad(c2, ((0, 0), (0, cols_pad - cols)))
+
+    def restore(v):
+        v = v[:, :cols]
+        if dtype == np.bool_:
+            v = v != 0
+        return v.reshape(shape)
+
+    return c2, restore
+
+
+@functools.lru_cache(maxsize=None)
 def _build_call(fn, name: str, in_rows: tuple, out_rows: tuple, n_pad: int,
                 interpret: bool):
-    """Cached pallas_call for a formula at a padded lane count."""
+    """Cached (pallas_call, const_arrays) for a formula at a padded lane
+    count. Formula constants ride as extra inputs with grid-invariant
+    blocks (index_map -> (0, 0); Mosaic hoists the fetch out of the grid
+    loop)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    jaxpr, consts = _trace_formula(fn, in_rows)
+    packed = [_pack_const(c) for c in consts]
+    const_arrays = tuple(p[0] for p in packed)
+    restores = [p[1] for p in packed]
+
     grid = n_pad // TILE
     space = {} if interpret else {"memory_space": pltpu.VMEM}
+    n_in, n_c = len(in_rows), len(const_arrays)
 
     def kernel(*refs):
-        global _IN_KERNEL
-        ins = refs[: len(in_rows)]
-        outs = refs[len(in_rows) :]
-        _IN_KERNEL = True
-        try:
-            res = fn(*[r[:] for r in ins])
-        finally:
-            _IN_KERNEL = False
-        if not isinstance(res, (list, tuple)):
-            res = (res,)
+        ins = refs[:n_in]
+        crefs = refs[n_in : n_in + n_c]
+        outs = refs[n_in + n_c :]
+        cvals = [rest(cr[:]) for cr, rest in zip(crefs, restores)]
+        res = jax.core.eval_jaxpr(jaxpr, cvals, *[r[:] for r in ins])
         for o, r in zip(outs, res):
             o[:] = r
 
     in_specs = [
         pl.BlockSpec((r, TILE), lambda i: (0, i), **space) for r in in_rows
     ]
+    in_specs += [
+        pl.BlockSpec(c.shape, lambda i: (0, 0), **space) for c in const_arrays
+    ]
     out_specs = [
         pl.BlockSpec((r, TILE), lambda i: (0, i), **space) for r in out_rows
     ]
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
@@ -108,6 +162,7 @@ def _build_call(fn, name: str, in_rows: tuple, out_rows: tuple, n_pad: int,
         interpret=interpret,
         name=name,
     )
+    return call, const_arrays
 
 
 def pallas_map(fn, name: str, inputs: list, out_rows: list[int]):
@@ -129,11 +184,11 @@ def pallas_map(fn, name: str, inputs: list, out_rows: list[int]):
             )
             for a in flat
         ]
-    call = _build_call(
+    call, const_arrays = _build_call(
         fn, name, tuple(a.shape[0] for a in flat), tuple(out_rows), n_pad,
         _MODE == "interpret",
     )
-    res = call(*flat)
+    res = call(*flat, *const_arrays)
     if not isinstance(res, (list, tuple)):
         res = (res,)
     outs = [r[:, :N].reshape(r.shape[0], *batch_shape) for r in res]
