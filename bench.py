@@ -20,6 +20,11 @@ import time
 
 import numpy as np
 
+from montgomery_tpu.utils.timing import sync, timeit as timeit_sync
+from montgomery_tpu.utils.timing import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -58,7 +63,7 @@ def main():
         log("points loaded from cache in %.1fs" % (time.time() - t0))
     else:
         pts = random_points_fast(ctx.proj, N, seed=42)
-        jax.block_until_ready(pts)
+        sync(pts)
         os.makedirs(".bench_cache", exist_ok=True)
         np.savez(cache, x=np.asarray(pts.x), y=np.asarray(pts.y),
                  inf=np.asarray(pts.inf))
@@ -74,13 +79,14 @@ def main():
     ]
     limbs = jnp.asarray(ctx.scalars_to_limbs(scalars))
     affine = os.environ.get("MSM_AFFINE", "1") == "1"
+    unsafe = os.environ.get("MSM_UNSAFE", "1") == "1"
 
     # ---- correctness spot check at small N (reference msm-weierstrass.ts:97-107)
     C = WeierstrassCurve(BLS12_377)
     n_chk = 16
     chk_pts = ctx.proj.affine_to_host(jax.tree.map(lambda a: a[..., :n_chk], pts))
     fn_chk = jax.jit(
-        lambda p, sl: ctx.msm_device_full(p, sl, c, affine=affine)
+        lambda p, sl: ctx.msm_device_full(p, sl, c, affine=affine, unsafe=unsafe)
     )
     got = ctx.proj.to_host(
         fn_chk(jax.tree.map(lambda a: a[..., :n_chk], P), limbs[:, :n_chk])
@@ -90,18 +96,19 @@ def main():
     log("correctness spot check passed (N=16 vs oracle)")
 
     # ---- MSM timing (end-to-end: GLV decompose + slicing + MSM on device) ----
-    fn = jax.jit(lambda p, sl: ctx.msm_device_full(p, sl, c, affine=affine))
+    fn = jax.jit(lambda p, sl: ctx.msm_device_full(p, sl, c, affine=affine,
+                                                    unsafe=unsafe))
     t0 = time.time()
     out = fn(P, limbs)
-    jax.block_until_ready(out)
+    sync(out)
     log("msm compile+first run %.1fs" % (time.time() - t0))
 
     for _ in range(3):
-        jax.block_until_ready(fn(P, limbs))
+        sync(fn(P, limbs))
     times = []
     for _ in range(10):
         t0 = time.time()
-        jax.block_until_ready(fn(P, limbs))
+        sync(fn(P, limbs))
         times.append(time.time() - t0)
     med = float(np.median(times))
     std = float(np.std(times))
@@ -122,11 +129,11 @@ def main():
             y = f.mul(y, x)
         return y
 
-    jax.block_until_ready(chain(X))
+    sync(chain(X))
     tms = []
     for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(chain(X))
+        sync(chain(X))
         tms.append(time.time() - t0)
     tmul = float(np.median(tms))
     muls_per_sec = R_CHAIN * Nm / tmul

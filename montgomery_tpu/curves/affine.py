@@ -31,6 +31,12 @@ class AffineOps:
         self.a_is_zero = params.a % p == 0
         self.a_mont = codec.pack_scalar(params.a % p * R % p, fops.mp)
         self.b_mont = codec.pack_scalar(params.b % p * R % p, fops.mp)
+        # stable bound refs so the Pallas-call cache hits (ops/kernels.py)
+        self._pre_f = self._pre_inv_formula
+        self._post_f = self._post_inv_formula
+        self._pre_unsafe_f = self._pre_inv_unsafe_formula
+        self._pre_masked_f = self._pre_inv_masked_formula
+        self._post_unsafe_f = self._post_inv_unsafe_formula
 
     def zero(self, N: int) -> AffineBatch:
         f = self.f
@@ -56,50 +62,124 @@ class AffineOps:
             num = f.add(num, f.bc_full(self.a_mont, x))
         return num
 
+    def _pre_inv_formula(self, x1, y1, x2, y2, infG, infH):
+        """Fused pre-inversion stage: slope numerator/denominator selection
+        and edge-case triage, all int32 masks (Mosaic-safe).
+        Outputs [denom (poison-substituted), numer, flags] with flags bits:
+        1 = is_dbl, 2 = cancel, 4 = y1_zero."""
+        f = self.f
+        xeq = f.is_equal(x1, x2).astype(jnp.int32)[None]
+        yeq = f.is_equal(y1, y2).astype(jnp.int32)[None]
+        finite = (1 - infG) * (1 - infH)
+        is_dbl = xeq * yeq * finite
+        cancel = xeq * (1 - yeq) * finite
+        y1_zero = f.is_zero(y1).astype(jnp.int32)[None]
+
+        denom = f._sel(is_dbl[0] != 0, f.add(y1, y1), f.sub(x2, x1))
+        # poisoned lanes (cancel, 2-torsion double with y=0, infinities)
+        # must not reach the shared inversion: substitute 1
+        poisoned = cancel | (is_dbl * y1_zero) | (1 - finite)
+        one = f.bc_full(f.one_mont, x1)
+        denom = f._sel(poisoned[0] != 0, one, denom)
+        numer = f._sel(
+            is_dbl[0] != 0, self._slope_numer_dbl(x1, y1), f.sub(y2, y1)
+        )
+        flags = is_dbl + 2 * cancel + 4 * y1_zero
+        return [denom, numer, flags]
+
+    def _post_inv_formula(self, x1, y1, x2, y2, dinv, numer, flags, infG, infH):
+        """Fused post-inversion stage: chord/tangent completion + edge-case
+        selects. Outputs [x3, y3, inf3-plane]."""
+        f = self.f
+        is_dbl = flags & 1
+        cancel = (flags >> 1) & 1
+        y1_zero = (flags >> 2) & 1
+        lam = f.mul(numer, dinv)
+        ll = f.mul(lam, lam)
+        x3 = f.sub(f.sub(ll, x1), x2)
+        t = f.mul(lam, f.sub(x1, x3))
+        y3 = f.sub(t, y1)
+        inf3 = cancel | (is_dbl * y1_zero) | (infG * infH)
+        # one-operand-infinite cases pass the other operand through
+        gi = (infG * (1 - infH))[0] != 0
+        hi = (infH * (1 - infG))[0] != 0
+        x3 = f._sel(gi, x2, x3)
+        y3 = f._sel(gi, y2, y3)
+        x3 = f._sel(hi, x1, x3)
+        y3 = f._sel(hi, y1, y3)
+        return [x3, y3, inf3]
+
     def batch_add(self, G: AffineBatch, H: AffineBatch) -> AffineBatch:
         """Lane-wise G[i] + H[i], complete: handles infinities, doubling
         (x1==x2, y1==y2), and cancellation (x1==x2, y1==-y2).
-        One batch inversion shared across all lanes."""
-        f = self.f
-        x1, y1, x2, y2 = G.x, G.y, H.x, H.y
-        xeq = f.is_equal(x1, x2)
-        yeq = f.is_equal(y1, y2)
-        finite = jnp.logical_not(G.inf) & jnp.logical_not(H.inf)
-        is_dbl = xeq & yeq & finite
-        cancel = xeq & jnp.logical_not(yeq) & finite
+        One batch inversion shared across all lanes; the arithmetic around
+        it runs as TWO fused Pallas kernels (pre/post) — inline XLA carry
+        chains at MSM widths cost 2-3x a full Montgomery mul each."""
+        from ..ops import kernels
 
-        denom = f._sel(is_dbl, f.add(y1, y1), f.sub(x2, x1))
-        # poisoned lanes (cancel, 2-torsion double with y=0, infinities)
-        # must not reach the shared inversion: substitute 1
-        y1_zero = f.is_zero(y1)
-        poisoned = cancel | (is_dbl & y1_zero) | jnp.logical_not(finite)
+        f = self.f
+        infG = kernels.mask_to_plane(G.inf)
+        infH = kernels.mask_to_plane(H.inf)
+        denom, numer, flags = kernels.fused(
+            "aff_pre", self._pre_f, [G.x, G.y, H.x, H.y, infG, infH],
+            [f.n, f.n, 1],
+        )
+        shape = denom.shape
+        dinv = f.batch_inv(denom.reshape(f.n, -1)).reshape(shape)
+        x3, y3, inf3 = kernels.fused(
+            "aff_post", self._post_f,
+            [G.x, G.y, H.x, H.y, dinv, numer, flags, infG, infH],
+            [f.n, f.n, 1],
+        )
+        return AffineBatch(x3, y3, kernels.plane_to_mask(inf3))
+
+    def _pre_inv_unsafe_formula(self, x1, x2):
+        return [self.f.sub(x2, x1)]
+
+    def _pre_inv_masked_formula(self, x1, x2, valid):
+        """Unsafe pre-inversion with a validity plane: invalid lanes (e.g.
+        pass-through lanes of a pair-halving round, where A == B would give a
+        zero denominator) get denominator 1 so they cannot poison the shared
+        inversion. No field comparisons — the MSM engine guarantees real
+        pairs are distinct finite points (reference msmUnsafe contract)."""
+        f = self.f
         one = f.bc_full(f.one_mont, x1)
-        denom = f._sel(poisoned, one, denom)
-        dinv = f.batch_inv(denom)
+        return [f._sel(valid[0] != 0, f.sub(x2, x1), one)]
 
-        numer = f._sel(is_dbl, self._slope_numer_dbl(x1, y1), f.sub(y2, y1))
-        (lam,) = f.mul_list([(numer, dinv)])
-        (ll,) = f.mul_list([(lam, lam)])
-        x3 = f.sub(f.sub(ll, x1), x2)
-        (t,) = f.mul_list([(lam, f.sub(x1, x3))])
-        y3 = f.sub(t, y1)
-        inf3 = cancel | (is_dbl & y1_zero) | (G.inf & H.inf)
-        out = AffineBatch(x3, y3, inf3)
-        out = self.select(G.inf & jnp.logical_not(H.inf), H, out)
-        out = self.select(H.inf & jnp.logical_not(G.inf), G, out)
-        return out
-
-    def batch_add_unsafe(self, G: AffineBatch, H: AffineBatch) -> AffineBatch:
-        """Lane-wise G[i] + H[i] assuming all lanes are finite points with
-        x1 != x2 (reference batchAddUnsafeNew: ~5% faster, used for random
-        inputs where collisions have negligible probability)."""
+    def _post_inv_unsafe_formula(self, x1, y1, x2, y2, dinv):
         f = self.f
-        dinv = f.batch_inv(f.sub(H.x, G.x))
-        (lam,) = f.mul_list([(f.sub(H.y, G.y), dinv)])
-        (ll,) = f.mul_list([(lam, lam)])
-        x3 = f.sub(f.sub(ll, G.x), H.x)
-        (t,) = f.mul_list([(lam, f.sub(G.x, x3))])
-        y3 = f.sub(t, G.y)
+        lam = f.mul(f.sub(y2, y1), dinv)
+        ll = f.mul(lam, lam)
+        x3 = f.sub(f.sub(ll, x1), x2)
+        t = f.mul(lam, f.sub(x1, x3))
+        y3 = f.sub(t, y1)
+        return [x3, y3]
+
+    def batch_add_unsafe(self, G: AffineBatch, H: AffineBatch,
+                         valid=None) -> AffineBatch:
+        """Lane-wise G[i] + H[i] assuming all valid lanes are finite points
+        with x1 != x2 (reference batchAddUnsafeNew, curve-affine.ts:463-522:
+        faster, used for random inputs where collisions have negligible
+        probability). `valid` (bool (N,), optional) marks lanes whose result
+        is consumed — invalid lanes are excluded from the shared inversion."""
+        from ..ops import kernels
+
+        f = self.f
+        if valid is None:
+            (denom,) = kernels.fused(
+                "aff_pre_unsafe", self._pre_unsafe_f, [G.x, H.x], [f.n]
+            )
+        else:
+            (denom,) = kernels.fused(
+                "aff_pre_masked", self._pre_masked_f,
+                [G.x, H.x, kernels.mask_to_plane(valid)], [f.n],
+            )
+        shape = denom.shape
+        dinv = f.batch_inv(denom.reshape(f.n, -1)).reshape(shape)
+        x3, y3 = kernels.fused(
+            "aff_post_unsafe", self._post_unsafe_f,
+            [G.x, G.y, H.x, H.y, dinv], [f.n, f.n],
+        )
         return AffineBatch(x3, y3, jnp.zeros_like(G.inf))
 
     def batch_double(self, G: AffineBatch) -> AffineBatch:

@@ -219,6 +219,35 @@ class ProjectiveOps:
         X3 = f.add(X3b, X3b)
         return [X3, Y3, Z3]
 
+    def double_n(self, P: ProjectiveBatch, k: int) -> ProjectiveBatch:
+        """k successive doublings as ONE fused kernel (fori over the RCB
+        doubling body) — the Horner window combine does c of these per
+        window and per-launch overhead (~160us) would otherwise dominate."""
+        if k <= 0:
+            return P
+        if not self.a_is_zero:
+            Q = P
+            for _ in range(k):
+                Q = self.double(Q)
+            return Q
+        from ..ops import kernels
+
+        cache = self.__dict__.setdefault("_dbl_n_cache", {})
+        fn = cache.get(k)
+        if fn is None:
+
+            def fn(X, Y, Z, _k=k):
+                def body(_, S):
+                    return tuple(self._dbl_rcb_formula(*S))
+
+                return list(jax.lax.fori_loop(0, _k, body, (X, Y, Z)))
+
+            cache[k] = fn
+        X3, Y3, Z3 = kernels.fused(
+            f"proj_dbl{k}_rcb", fn, [P.X, P.Y, P.Z], [self.f.n] * 3
+        )
+        return ProjectiveBatch(X3, Y3, Z3)
+
     def add_masked(self, P: ProjectiveBatch, Q: ProjectiveBatch) -> ProjectiveBatch:
         """Masked-complete add for general a (reference addOrSubtract,
         curve-projective.ts:51-160): handles P==Q (double), P==-Q (zero), and

@@ -39,11 +39,14 @@ class ProjectiveAdapter:
     def from_points(self, A: AffineBatch) -> ProjectiveBatch:
         return self.proj.from_affine(A)
 
-    def add(self, P, Q):
+    def add(self, P, Q, valid=None):
         return self.proj.add(P, Q)
 
     def double(self, P):
         return self.proj.double(P)
+
+    def double_n(self, P, k: int):
+        return self.proj.double_n(P, k)
 
     def select(self, mask, a, b):
         return self.proj.select(mask, a, b)
@@ -67,9 +70,10 @@ class AffineAccumAdapter:
     (msm-batched-affine.ts:243-283 + curve-affine.ts batchAddNew).
     ~8M/add (incl. amortized inversion) vs ~14M for projective RCB."""
 
-    def __init__(self, aff, proj: ProjectiveOps):
+    def __init__(self, aff, proj: ProjectiveOps, unsafe: bool = False):
         self.aff = aff
         self.proj = proj
+        self.unsafe = unsafe
         self.f: FieldOps = aff.f
 
     def zero_like(self, shape) -> AffineBatch:
@@ -80,7 +84,9 @@ class AffineAccumAdapter:
     def from_points(self, A: AffineBatch) -> AffineBatch:
         return A
 
-    def add(self, P, Q):
+    def add(self, P, Q, valid=None):
+        if self.unsafe:
+            return self.aff.batch_add_unsafe(P, Q, valid=valid)
         return self.aff.batch_add(P, Q)
 
     def select(self, mask, a, b):
@@ -116,11 +122,14 @@ class EdwardsAdapter:
     def from_points(self, P: EdwardsBatch) -> EdwardsBatch:
         return P
 
-    def add(self, P, Q):
+    def add(self, P, Q, valid=None):
         return self.ed.add(P, Q)
 
     def double(self, P):
         return self.ed.double(P)
+
+    def double_n(self, P, k: int):
+        return jax.lax.fori_loop(0, k, lambda _, Q: self.ed.double(Q), P)
 
     def select(self, mask, a, b):
         return self.ed.select(mask, a, b)

@@ -33,6 +33,9 @@ class WeierstrassMsm:
         self.affine = AffineOps(self.fops, params)
         self.adapter = ProjectiveAdapter(self.proj)
         self.aff_adapter = AffineAccumAdapter(self.affine, self.proj)
+        self.aff_adapter_unsafe = AffineAccumAdapter(
+            self.affine, self.proj, unsafe=True
+        )
         self.scalar_bits = params.order.bit_length()
         self.glv = None
         if params.endomorphism is not None:
@@ -43,12 +46,17 @@ class WeierstrassMsm:
 
     # --- device entry point (traceable) ---
     def msm_device(self, points_affine, digits, c: int, window_chunk=None,
-                   affine: bool = False):
+                   affine: bool = False, unsafe: bool = False):
         """affine=True uses batched-affine accumulation (reference flagship
-        path); affine=False uses complete projective accumulation."""
+        path); affine=False uses complete projective accumulation.
+        unsafe=True skips the equal-x/infinity triage in the affine adds
+        (reference msmUnsafe, msm-batched-affine.ts:585-599) — wrong results
+        are possible only for adversarial inputs with colliding x inside one
+        bucket; negligible for random inputs."""
         if affine:
             return msm_digits_affine(
-                self.aff_adapter, self.adapter, points_affine, digits, c,
+                self.aff_adapter_unsafe if unsafe else self.aff_adapter,
+                self.adapter, points_affine, digits, c,
                 window_chunk=window_chunk,
             )
         P = self.adapter.from_points(points_affine)
@@ -59,17 +67,18 @@ class WeierstrassMsm:
         return signed_digits([s % self.params.order for s in scalars], self.scalar_bits, c)
 
     def msm(self, scalars, points: list[AffinePoint], c: int | None = None,
-            affine: bool = False) -> AffinePoint:
+            affine: bool = False, unsafe: bool = False) -> AffinePoint:
         N = len(points)
         assert len(scalars) == N and N > 0
         if c is None:
             c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
         d = jnp.asarray(self.digits(scalars, c))
         A = self.proj.affine_to_device(points)
-        key = (N, d.shape[0], c, affine)
+        key = (N, d.shape[0], c, affine, unsafe)
         if key not in self._jits:
             self._jits[key] = jax.jit(
-                lambda pts, dg: self.msm_device(pts, dg, c, affine=affine)
+                lambda pts, dg: self.msm_device(pts, dg, c, affine=affine,
+                                                unsafe=unsafe)
             )
         S = self._jits[key](A, d)
         return self.proj.to_host(S)[0]
@@ -135,14 +144,16 @@ class WeierstrassMsm:
         )
 
     def msm_device_full(self, points_affine, scalar_limbs, c: int,
-                        affine: bool = False, window_chunk=None):
+                        affine: bool = False, window_chunk=None,
+                        unsafe: bool = False):
         """Traceable end-to-end step: GLV decompose + digit slicing + MSM,
         all on device. points_affine: AffineBatch (N); scalar_limbs (ns, N)."""
         from ..scalar.device import digits_glv_device
 
         digits = digits_glv_device(self.glv_dev, scalar_limbs, c)
         return self.msm_device(self.expand_points_glv(points_affine), digits, c,
-                               affine=affine, window_chunk=window_chunk)
+                               affine=affine, window_chunk=window_chunk,
+                               unsafe=unsafe)
 
     def msm_full(self, scalars, points: list[AffinePoint], c: int | None = None) -> AffinePoint:
         """Host entry: everything after numpy ingestion runs in ONE jit."""

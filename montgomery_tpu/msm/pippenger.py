@@ -115,30 +115,40 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
         )
     digits = digits.reshape(C, KC, N)
 
-    G = KC * (L + 1)  # live bucket slots per chunk (b=0 slots are dead)
-    Gd = G + 1  # + 1 dead slot for zero digits
+    G = KC * L  # live buckets per chunk
+    Gd = KC * (L + 1)  # slot space: + 1 per-window dead slot for zero digits
     M0 = KC * N
     sizes = _round_sizes(M0, G)
 
     def pair_round(P_cur, counts, starts, size_out, src_transform=None):
-        """One pair-halving round: combine adjacent elements per bucket run."""
+        """One pair-halving round: combine adjacent elements per bucket run.
+
+        The output-slot -> bucket map is a step function over sorted
+        boundaries; since the queries are arange(size_out) it is computed as
+        bincount + cumsum (2 cheap passes) instead of searchsorted, whose
+        XLA lowering (a gather-per-probe while loop) measured ~44 ms per
+        round at 2^16 MSM scale."""
         new_counts = (counts + 1) // 2
         new_starts = _excl_cumsum(new_counts)
         ends = starts + counts
         delta = starts - 2 * new_starts
-        j = jnp.arange(size_out, dtype=jnp.int32)
-        bid = jnp.searchsorted(new_starts, j, side="right").astype(jnp.int32) - 1
+        # bid[j] = (# buckets with new_start <= j) - 1  (== searchsorted-right - 1)
+        hist = jnp.bincount(jnp.clip(new_starts, 0, size_out), length=size_out + 1)
+        bid = jnp.cumsum(hist[:size_out]).astype(jnp.int32) - 1
         bid = jnp.clip(bid, 0, Gd - 1)
-        src = 2 * j + delta[bid]
+        j = jnp.arange(size_out, dtype=jnp.int32)
+        # one stacked table gather for (delta, ends) instead of two
+        de = jnp.take(jnp.stack([delta, ends]), bid, axis=1)
+        src = 2 * j + de[0]
         src = jnp.clip(src, 0, None)
-        has_pair = (src + 1) < ends[bid]
+        has_pair = (src + 1) < de[1]
         if src_transform is None:
             A = group.gather(P_cur, src)
             B = group.gather(P_cur, jnp.where(has_pair, src + 1, src))
         else:
             A = src_transform(src)
             B = src_transform(jnp.where(has_pair, src + 1, src))
-        added = group.add(A, B)
+        added = group.add(A, B, valid=has_pair)
         P_new = group.select(has_pair, added, A)
         return P_new, new_counts, new_starts
 
@@ -146,15 +156,34 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
         # digits_chunk: (KC, N)
         b = jnp.abs(digits_chunk)
         sign = (digits_chunk < 0).astype(jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (KC, N), 1)
+        # per-window batched row sort (dimension=1): ~30% less comparator
+        # work than one flat sort of KC*N keys, and when (c + 1 + log2 N)
+        # fits 31 bits everything packs into a SINGLE int32 operand.
+        # Bucket-slot layout: window k's buckets at k*(L+1) + loc with
+        # loc = |d|-1 in [0, L-1]; zero digits go to the per-window dead
+        # slot loc = L (sorted to each window's end).
+        loc = jnp.where(b > 0, b - 1, L)
+        nb = max((N - 1).bit_length(), 1)
+        lb = (L).bit_length()  # loc in [0, L] needs c bits
+        if lb + 1 + nb <= 31:
+            packed = (loc << (nb + 1)) | (sign << nb) | idx
+            (packed_s,) = jax.lax.sort((packed,), dimension=1, num_keys=1)
+            idx_s = (packed_s & ((1 << nb) - 1)).reshape(-1)
+            sign_s = ((packed_s >> nb) & 1).reshape(-1)
+        else:
+            payload = (idx << 1) | sign
+            _, payload_s = jax.lax.sort((loc, payload), dimension=1, num_keys=1)
+            idx_s = (payload_s >> 1).reshape(-1)
+            sign_s = (payload_s & 1).reshape(-1)
         win = jax.lax.broadcasted_iota(jnp.int32, (KC, N), 0)
-        key = jnp.where(b > 0, win * (L + 1) + b, G).reshape(-1)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (KC, N), 1).reshape(-1)
-        sign = sign.reshape(-1)
-
-        key_s, idx_s, sign_s = jax.lax.sort((key, idx, sign), num_keys=1)
-        counts = jnp.bincount(key, length=Gd).astype(jnp.int32)
-        counts = counts.at[G].set(0)  # dead bucket: never accumulated
-        starts = _excl_cumsum(counts)
+        g = win * (L + 1) + loc
+        counts_full = jnp.bincount(g.reshape(-1), length=Gd).astype(jnp.int32)
+        # starts = true sorted positions (dead gaps included); dead slots are
+        # excluded from pairing by zeroing their counts
+        starts = _excl_cumsum(counts_full)
+        slot_loc = jnp.arange(Gd, dtype=jnp.int32) % (L + 1)
+        counts = jnp.where(slot_loc == L, 0, counts_full)
 
         # round 0: reads original points through the sorted index (avoids
         # materializing K*N gathered points; signs applied on the fly)
@@ -185,11 +214,11 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
             cond, body, (P_cur, counts, starts)
         )
 
-        # extract buckets: window k, bucket l in [1, L]
+        # extract buckets: window k, bucket l in [1, L] lives at slot
+        # k*(L+1) + (l-1)
         gid = (
             jax.lax.broadcasted_iota(jnp.int32, (KC, L), 0) * (L + 1)
             + jax.lax.broadcasted_iota(jnp.int32, (KC, L), 1)
-            + 1
         ).reshape(-1)
         Bpt = group.gather(P_cur, jnp.take(starts, gid))
         valid = jnp.take(counts, gid) == 1
@@ -293,10 +322,10 @@ def reduce_buckets(group, buckets, c: int, K_pad: int, L: int):
 
     # horner combine over windows, high to low
     def horner_step(S, k):
-        def dbl(_, P):
-            return group.double(P)
-
-        S = jax.lax.fori_loop(0, c, dbl, S)
+        if hasattr(group, "double_n"):
+            S = group.double_n(S, c)
+        else:
+            S = jax.lax.fori_loop(0, c, lambda _, P: group.double(P), S)
         Wk = jax.tree.map(
             lambda a: jax.lax.dynamic_index_in_dim(a, k, axis=-2, keepdims=False)
             if a.ndim >= 2

@@ -545,6 +545,78 @@ class FieldOps:
 
     # ------------------------------------------------------------------- exp
 
+    def _ladder_formula(self, e: int):
+        """Cached square-and-multiply formula for a static exponent, designed
+        to run as ONE Pallas kernel: a lax.scan over the (static) bit array
+        with a masked multiply keeps the jaxpr tiny (2 muls) while the whole
+        ~2*log2(e) mul chain stays VMEM-resident in a single launch — the
+        launch-latency fix for Fermat inversion (each pallas_call costs
+        ~160us on the TPU; the old path was ~475 calls per inversion)."""
+        cache = self.__dict__.setdefault("_ladder_cache", {})
+        fn = cache.get(e)
+        if fn is not None:
+            return fn
+        # 2-bit windows, MSB first. The first digit is applied statically;
+        # the rest run in a fori_loop whose body does 2 squarings + 1 table
+        # multiply. Mosaic supports neither scan-with-xs nor (reliably)
+        # dynamic indexing inside kernels, so the per-iteration digit and the
+        # table entry are selected with iota-compare masks (a handful of
+        # vector selects — noise next to 3 Montgomery muls). 2-bit (not 4-bit)
+        # keeps the kernel jaxpr small — Mosaic compile time scales with it.
+        W = 2
+        digits = []
+        t = e
+        while t:
+            digits.append(t & ((1 << W) - 1))
+            t >>= W
+        digits.reverse()
+        d0 = digits[0]
+        rest = np.array([[d] for d in digits[1:]], dtype=np.int32)  # (nd, 1)
+        iota = np.arange(len(digits) - 1, dtype=np.int32).reshape(-1, 1)
+
+        def fn(x, _rest=rest, _iota=iota, _d0=d0):
+            one = jnp.broadcast_to(
+                jnp.asarray(self.one_mont).reshape(
+                    (self.n,) + (1,) * (x.ndim - 1)
+                ),
+                x.shape,
+            )
+            table = [one, x]
+            for _ in range((1 << W) - 2):
+                table.append(self._mul_impl(table[-1], x))
+            acc = table[_d0]
+            if len(_rest) == 0:
+                return [acc]
+            digs = jnp.asarray(_rest)
+            idx = jnp.asarray(_iota)
+
+            def body(i, acc):
+                d = jnp.sum(jnp.where(idx == i, digs, 0))
+                for _ in range(W):
+                    acc = self._mul_impl(acc, acc)
+                sel = table[0]
+                for tv in range(1, 1 << W):
+                    sel = jnp.where(d == tv, table[tv], sel)
+                return self._mul_impl(acc, sel)
+
+            acc = jax.lax.fori_loop(0, len(_rest), body, acc)
+            return [acc]
+
+        cache[e] = fn
+        return fn
+
+    def exp_ladder(self, x: Array, e: int) -> Array:
+        """x^e (Montgomery domain) for static e >= 1 as one fused kernel on
+        the Pallas path, else inline scan."""
+        assert e >= 1
+        from . import kernels
+
+        fn = self._ladder_formula(e)
+        if kernels.use_pallas():
+            return kernels.fused(f"exp_ladder_{e & 0xffff}_{e.bit_length()}",
+                                 fn, [x], [self.n])[0]
+        return fn(x)[0]
+
     def exp_const(self, x: Array, e: int) -> Array:
         """x^e for a *static* python-int exponent, 4-bit fixed windows.
 
@@ -557,6 +629,10 @@ class FieldOps:
         one = self.bc_full(self.one_mont, x)
         if e == 0:
             return one
+        from . import kernels
+
+        if kernels.use_pallas():
+            return self.exp_ladder(x, e)
         # table[d] = x^d, d in 0..15
         table = [one, x]
         for _ in range(14):
@@ -587,16 +663,25 @@ class FieldOps:
         """1/x in Montgomery form via Fermat: x^(p-2) * R^2-ish.
 
         For x = v*R (mont form of v), x^(p-2) mont-exponentiated gives
-        v^(p-2)*R = (1/v)*R — i.e. exp_const with e = p-2 directly yields the
-        Montgomery form of the inverse. x must be nonzero (else returns 0)."""
-        return self.exp_const(x, self.p - 2)
+        v^(p-2)*R = (1/v)*R — i.e. exponentiation by p-2 directly yields the
+        Montgomery form of the inverse. x must be nonzero (else returns 0).
+        Constant-schedule replacement for the Kaliski EGCD
+        (wasm/inverse.ts:136-179); on TPU it is ONE fused ladder kernel."""
+        return self.exp_ladder(x, self.p - 2)
+
+    # tree fold stops at this width: one Pallas tile inverts 512 elements
+    # with a single fused Fermat ladder (cost amortized to ~1.5 muls/elem)
+    _BATCH_INV_STOP = 512
 
     def batch_inv(self, x: Array, handle_zero: bool = False) -> Array:
         """Batched inversion over the last axis: log-depth product tree +
-        one Fermat inversion + descent (~3 muls/element amortized).
+        one fused Fermat-ladder inversion + descent (~4 muls/element).
 
         TPU-shaped replacement for the sequential Montgomery trick
         (wasm/inverse.ts:220-271). x: (n, N) Montgomery form, N arbitrary.
+        The tree pairs CONTIGUOUS HALVES (v[:, :h] * v[:, h:]) instead of
+        even/odd interleaves — contiguous lane slices avoid the relayout cost
+        of strided gathers on TPU, and each level is exactly one mul kernel.
         With handle_zero=True, zeros map to zeros instead of poisoning the tree.
         """
         n, N = x.shape[0], x.shape[-1]
@@ -613,15 +698,17 @@ class FieldOps:
         else:
             xp = x
         levels = [xp]
-        while levels[-1].shape[-1] > 1:
+        while levels[-1].shape[-1] > self._BATCH_INV_STOP:
             v = levels[-1]
-            levels.append(self.mul(v[:, 0::2], v[:, 1::2]))
+            h = v.shape[-1] // 2
+            levels.append(self.mul(v[:, :h], v[:, h:]))
         inv_cur = self.inv(levels[-1])
         for v in reversed(levels[:-1]):
-            left, right = v[:, 0::2], v[:, 1::2]
-            inv_left = self.mul(inv_cur, right)
-            inv_right = self.mul(inv_cur, left)
-            inv_cur = jnp.stack([inv_left, inv_right], axis=-1).reshape(n, -1)
+            h = v.shape[-1] // 2
+            # inv_left = inv_cur * right ; inv_right = inv_cur * left
+            swapped = jnp.concatenate([v[:, h:], v[:, :h]], axis=-1)
+            inv2 = jnp.concatenate([inv_cur, inv_cur], axis=-1)
+            inv_cur = self.mul(inv2, swapped)
         out = inv_cur[:, :N]
         if handle_zero:
             out = self._sel(zmask, jnp.zeros_like(out), out)

@@ -37,7 +37,12 @@ TILE = 512
 
 # None = auto (pallas on TPU, inline elsewhere); True/False force.
 _FORCE: bool | None = None
-# "compiled" | "interpret" — interpret used by CPU tests of kernel logic
+# "compiled" | "interpret" | "callback"
+#   interpret — Pallas interpreter: tests the kernel wrapper logic on CPU
+#   callback  — each fused formula runs as ONE jax.pure_callback op
+#               (eager evaluation): keeps the enclosing XLA program tiny.
+#               CPU test suites are otherwise compile-bound — a full inline
+#               MSM program is ~250k HLO ops and takes 400+ s to compile.
 _MODE = "compiled"
 _IN_KERNEL = False
 
@@ -51,12 +56,19 @@ def use_pallas() -> bool:
 
 
 @contextlib.contextmanager
-def force_pallas(on: bool | None, interpret: bool = False):
+def force_pallas(on: bool | None, interpret: bool = False,
+                 callback: bool = False):
     """Test hook: force the pallas path on/off (interpret=True runs kernels
-    in the Pallas interpreter so kernel logic is testable on CPU)."""
+    in the Pallas interpreter; callback=True runs each kernel as a
+    pure_callback — see _MODE)."""
     global _FORCE, _MODE
     old, oldm = _FORCE, _MODE
-    _FORCE, _MODE = on, ("interpret" if interpret else "compiled")
+    mode = "compiled"
+    if interpret:
+        mode = "interpret"
+    if callback:
+        mode = "callback"
+    _FORCE, _MODE = on, mode
     try:
         yield
     finally:
@@ -195,6 +207,29 @@ def pallas_map(fn, name: str, inputs: list, out_rows: list[int]):
     return outs
 
 
+def _callback_apply(formula, inputs: list, out_rows: list[int]):
+    """Run the formula as ONE pure_callback op: eager jnp evaluation at
+    runtime, a single opaque op at compile time."""
+    batch = inputs[0].shape[1:]
+    result_shapes = tuple(
+        jax.ShapeDtypeStruct((r, *batch), jnp.int32) for r in out_rows
+    )
+
+    def host_fn(*args, _formula=formula):
+        global _IN_KERNEL
+        _IN_KERNEL = True  # nested fused() calls must run inline
+        try:
+            out = _formula(*[jnp.asarray(a) for a in args])
+        finally:
+            _IN_KERNEL = False
+        if not isinstance(out, (list, tuple)):
+            out = (out,)
+        return tuple(np.asarray(o) for o in out)
+
+    res = jax.pure_callback(host_fn, result_shapes, *inputs)
+    return list(res)
+
+
 def fused(name: str, formula, inputs: list, out_rows: list[int]):
     """Run `formula` (pure lane-wise jnp function: int32 (rows, B) arrays ->
     list of int32 (out_rows_j, B) arrays) as ONE Pallas kernel on TPU, or
@@ -206,6 +241,8 @@ def fused(name: str, formula, inputs: list, out_rows: list[int]):
     if not use_pallas():
         out = formula(*inputs)
         return list(out) if isinstance(out, (list, tuple)) else [out]
+    if _MODE == "callback":
+        return _callback_apply(formula, list(inputs), list(out_rows))
     return pallas_map(formula, name, list(inputs), list(out_rows))
 
 

@@ -1,4 +1,4 @@
 """Utilities: phase timing logs, memory watermarks."""
 
 from .memory import device_memory_stats, print_max_size_used
-from .timing import PhaseLog, tic, toc
+from .timing import PhaseLog, enable_compilation_cache, sync, tic, timeit, toc

@@ -44,3 +44,47 @@ def tic():
 
 def toc(t0: float) -> float:
     return time.perf_counter() - t0
+
+
+def sync(tree) -> None:
+    """Force completion of every computation `tree` depends on.
+
+    jax.block_until_ready does not actually block on some remote platforms
+    (observed on the axon TPU tunnel: it returns immediately while the device
+    queue keeps executing). Fetching a single element to the host is a true
+    barrier — the transfer cannot complete before the producing executable
+    finishes — and moves only a few bytes over the (slow) tunnel."""
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def timeit(fn, *args, reps: int = 5, warmup: int = 2) -> float:
+    """Median wall time of fn(*args) with true device sync (see sync())."""
+    import numpy as np
+
+    for _ in range(warmup):
+        sync(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (kernels here are
+    compile-heavy; Mosaic compiles of the fused ladder/group kernels take
+    tens of seconds and must be paid once per machine, not per process)."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
