@@ -103,13 +103,20 @@ def main():
     sync(out)
     log("msm compile+first run %.1fs" % (time.time() - t0))
 
+    # Each device->host fetch costs a full tunnel round trip (~27 ms); time
+    # `inner` back-to-back async dispatches per rep and sync once so the
+    # fetch latency is amortized out of the per-run number.
+    inner = 4 if log2n <= 18 else 1
     for _ in range(3):
         sync(fn(P, limbs))
     times = []
     for _ in range(10):
         t0 = time.time()
-        sync(fn(P, limbs))
-        times.append(time.time() - t0)
+        out = None
+        for _ in range(inner):
+            out = fn(P, limbs)
+        sync(out)
+        times.append((time.time() - t0) / inner)
     med = float(np.median(times))
     std = float(np.std(times))
     log("msm: median %.4fs  std %.4fs  (%s)" % (med, std, ["%.4f" % t for t in times]))
@@ -129,13 +136,7 @@ def main():
             y = f.mul(y, x)
         return y
 
-    sync(chain(X))
-    tms = []
-    for _ in range(5):
-        t0 = time.time()
-        sync(chain(X))
-        tms.append(time.time() - t0)
-    tmul = float(np.median(tms))
+    tmul = timeit_sync(chain, X, reps=5, warmup=2, inner=4)
     muls_per_sec = R_CHAIN * Nm / tmul
     log("montgomery mul: %.1f M muls/s (chain of %d over N=%d, %.4fs)" % (
         muls_per_sec / 1e6, R_CHAIN, Nm, tmul))

@@ -37,6 +37,10 @@ class AffineOps:
         self._pre_unsafe_f = self._pre_inv_unsafe_formula
         self._pre_masked_f = self._pre_inv_masked_formula
         self._post_unsafe_f = self._post_inv_unsafe_formula
+        self._pre_packed_f = self._pre_packed_formula
+        self._post_packed_f = self._post_packed_formula
+        self._pre_packed_u_f = self._pre_packed_unsafe_formula
+        self._post_packed_u_f = self._post_packed_unsafe_formula
 
     def zero(self, N: int) -> AffineBatch:
         f = self.f
@@ -95,7 +99,7 @@ class AffineOps:
         cancel = (flags >> 1) & 1
         y1_zero = (flags >> 2) & 1
         lam = f.mul(numer, dinv)
-        ll = f.mul(lam, lam)
+        ll = f.square(lam)
         x3 = f.sub(f.sub(ll, x1), x2)
         t = f.mul(lam, f.sub(x1, x3))
         y3 = f.sub(t, y1)
@@ -149,7 +153,7 @@ class AffineOps:
     def _post_inv_unsafe_formula(self, x1, y1, x2, y2, dinv):
         f = self.f
         lam = f.mul(f.sub(y2, y1), dinv)
-        ll = f.mul(lam, lam)
+        ll = f.square(lam)
         x3 = f.sub(f.sub(ll, x1), x2)
         t = f.mul(lam, f.sub(x1, x3))
         y3 = f.sub(t, y1)
@@ -181,6 +185,115 @@ class AffineOps:
             [G.x, G.y, H.x, H.y, dinv], [f.n, f.n],
         )
         return AffineBatch(x3, y3, jnp.zeros_like(G.inf))
+
+    # ------------------------------------------------------------ packed form
+    #
+    # The MSM pair-halving engine keeps points as ONE int32 array
+    # (2n+1, M): rows [x limbs | y limbs | inf flag]. One array means ONE
+    # lane gather per operand per round (instead of one per coordinate
+    # plane) — gathers are ~50% of accumulation time at 2^16 — and lets the
+    # add kernel fold in the sign application (round 0 reads points through
+    # the sort permutation with per-lane negation, reference
+    # msm-batched-affine.ts:350-421) and the pass-through select for
+    # unpaired lanes.
+
+    @property
+    def packed_rows(self) -> int:
+        return 2 * self.f.n + 1
+
+    def pack_rows(self, A: AffineBatch) -> Array:
+        """AffineBatch -> (2n+1, M) int32 packed rows."""
+        inf = A.inf.astype(jnp.int32)[None]
+        return jnp.concatenate([A.x, A.y, inf], axis=0)
+
+    def unpack_rows(self, P: Array) -> AffineBatch:
+        n = self.f.n
+        return AffineBatch(P[:n], P[n : 2 * n], P[2 * n] != 0)
+
+    def _split_signed(self, A, sA):
+        """Packed rows + sign plane -> (x, y sign-applied, inf plane)."""
+        f, n = self.f, self.f.n
+        x, y, inf = A[:n], A[n : 2 * n], A[2 * n : 2 * n + 1]
+        y = f._sel(sA[0] != 0, f.neg(y), y)
+        return x, y, inf
+
+    def _pre_packed_unsafe_formula(self, A, B, hp):
+        """Packed unsafe pre-inversion: denom = x2 - x1, invalid (hp == 0)
+        lanes get 1 so they cannot poison the shared inversion."""
+        f, n = self.f, self.f.n
+        d = f.sub(B[:n], A[:n])
+        one = f.bc_full(f.one_mont, d)
+        return [f._sel(hp[0] != 0, d, one)]
+
+    def _post_packed_unsafe_formula(self, A, B, sA, sB, dinv, hp):
+        """Packed unsafe post-inversion: chord completion with signs folded
+        in and the pass-through select for unpaired lanes (output = sign-
+        applied A). Output: ONE packed (2n+1, M) array."""
+        f, n = self.f, self.f.n
+        x1, y1, inf1 = self._split_signed(A, sA)
+        x2, y2, _ = self._split_signed(B, sB)
+        lam = f.mul(f.sub(y2, y1), dinv)
+        x3 = f.sub(f.sub(f.square(lam), x1), x2)
+        y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+        hpm = hp[0] != 0
+        out_x = f._sel(hpm, x3, x1)
+        out_y = f._sel(hpm, y3, y1)
+        out_inf = jnp.where(hp != 0, jnp.zeros_like(inf1), inf1)
+        return [jnp.concatenate([out_x, out_y, out_inf], axis=0)]
+
+    def _pre_packed_formula(self, A, B, sA, sB, hp):
+        """Packed SAFE pre-inversion (full edge-case triage of
+        _pre_inv_formula, with signs folded and hp-invalid lanes poisoned)."""
+        f = self.f
+        x1, y1, inf1 = self._split_signed(A, sA)
+        x2, y2, inf2 = self._split_signed(B, sB)
+        denom, numer, flags = self._pre_inv_formula(x1, y1, x2, y2, inf1, inf2)
+        one = f.bc_full(f.one_mont, denom)
+        denom = f._sel(hp[0] != 0, denom, one)
+        return [denom, numer, flags]
+
+    def _post_packed_formula(self, A, B, sA, sB, dinv, numer, flags, hp):
+        f = self.f
+        x1, y1, inf1 = self._split_signed(A, sA)
+        x2, y2, inf2 = self._split_signed(B, sB)
+        x3, y3, inf3 = self._post_inv_formula(
+            x1, y1, x2, y2, dinv, numer, flags, inf1, inf2
+        )
+        hpm = hp[0] != 0
+        out_x = f._sel(hpm, x3, x1)
+        out_y = f._sel(hpm, y3, y1)
+        out_inf = jnp.where(hp != 0, inf3, inf1)
+        return [jnp.concatenate([out_x, out_y, out_inf], axis=0)]
+
+    def add_packed(self, A: Array, B: Array, sA: Array, sB: Array,
+                   valid: Array, unsafe: bool = False) -> Array:
+        """Lane-wise packed add with pass-through: out[i] = sgn(A[i]) +
+        sgn(B[i]) where valid[i], else sgn(A[i]). sA/sB/valid are int32
+        (1, M) planes. Two fused kernels + one shared batch inversion."""
+        from ..ops import kernels
+
+        f = self.f
+        R = self.packed_rows
+        if unsafe:
+            (denom,) = kernels.fused(
+                "aff_pre_packed_u", self._pre_packed_u_f, [A, B, valid], [f.n]
+            )
+            dinv = f.batch_inv(denom.reshape(f.n, -1)).reshape(denom.shape)
+            (out,) = kernels.fused(
+                "aff_post_packed_u", self._post_packed_u_f,
+                [A, B, sA, sB, dinv, valid], [R],
+            )
+            return out
+        denom, numer, flags = kernels.fused(
+            "aff_pre_packed", self._pre_packed_f, [A, B, sA, sB, valid],
+            [f.n, f.n, 1],
+        )
+        dinv = f.batch_inv(denom.reshape(f.n, -1)).reshape(denom.shape)
+        (out,) = kernels.fused(
+            "aff_post_packed", self._post_packed_f,
+            [A, B, sA, sB, dinv, numer, flags, valid], [R],
+        )
+        return out
 
     def batch_double(self, G: AffineBatch) -> AffineBatch:
         """Lane-wise 2*G[i] (reference batchDoubleInPlace, curve-affine.ts:537-687)."""

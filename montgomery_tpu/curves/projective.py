@@ -203,9 +203,9 @@ class ProjectiveOps:
     def _dbl_rcb_formula(self, X, Y, Z):
         P = ProjectiveBatch(X, Y, Z)
         f = self.f
-        YY, YZ, ZZ, XY = f.mul_list(
-            [(P.Y, P.Y), (P.Y, P.Z), (P.Z, P.Z), (P.X, P.Y)]
-        )
+        YY = f.square(P.Y)
+        ZZ = f.square(P.Z)
+        YZ, XY = f.mul_list([(P.Y, P.Z), (P.X, P.Y)])
         t0 = YY
         Z3d = f.add(t0, t0)
         Z3d = f.add(Z3d, Z3d)  # 4 Y^2, reduced to keep bounds small
@@ -258,7 +258,7 @@ class ProjectiveOps:
         )
         u = f.sub(Y2Z1, Y1Z2)
         v = f.sub(X2Z1, X1Z2)
-        uu, vv = f.mul_list([(u, u), (v, v)])
+        uu, vv = f.square(u), f.square(v)
         vvv, Rq, uuZ = f.mul_list([(v, vv), (vv, X1Z2), (uu, Z1Z2)])
         A = f.sub(f.sub(uuZ, vvv), f.add(Rq, Rq))
         X3, t, w1, Z3 = f.mul_list(
@@ -289,7 +289,7 @@ class ProjectiveOps:
         Y2Z1, X2Z1 = f.mul_list([(A.y, Z1), (A.x, Z1)])
         u = f.sub(Y2Z1, Y1)
         v = f.sub(X2Z1, X1)
-        uu, vv = f.mul_list([(u, u), (v, v)])
+        uu, vv = f.square(u), f.square(v)
         vvv, Rq, uuZ = f.mul_list([(v, vv), (vv, X1), (uu, Z1)])
         Aq = f.sub(f.sub(uuZ, vvv), f.add(Rq, Rq))
         X3, t, w1, Z3 = f.mul_list(

@@ -102,6 +102,22 @@ class AffineAccumAdapter:
     def to_projective(self, A: AffineBatch):
         return self.proj.from_affine(A)
 
+    # --- packed fast path (see AffineOps packed form): the MSM engine keeps
+    #     points as ONE (2n+1, M) array so each pair round is one gather ---
+
+    @property
+    def packed_rows(self) -> int:
+        return self.aff.packed_rows
+
+    def pack_rows(self, A: AffineBatch):
+        return self.aff.pack_rows(A)
+
+    def unpack_rows(self, P):
+        return self.aff.unpack_rows(P)
+
+    def add_packed(self, A, B, sA, sB, valid):
+        return self.aff.add_packed(A, B, sA, sB, valid, unsafe=self.unsafe)
+
 
 class EdwardsAdapter:
     """Twisted-Edwards MSM accumulation in extended coords (no masks needed)."""

@@ -101,7 +101,11 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
     """Phase 1+2 of Pippenger: sort + pair-halving bucket accumulation.
     Returns (buckets tree with leaves (n, K_pad, L), K_pad, L). On a mesh this
     runs per device on its point shard; the bucket trees are then combined
-    bucket-wise with group adds (parallel/sharded.py)."""
+    bucket-wise with group adds (parallel/sharded.py).
+
+    Adapters exposing pack_rows/add_packed (batched-affine) take the packed
+    fast path: points live in ONE (rows, M) array, so every pair round costs
+    one fused lane gather + two fused add kernels + one batch inversion."""
     K, N = digits.shape
     L = 1 << (c - 1)
 
@@ -119,9 +123,11 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
     Gd = KC * (L + 1)  # slot space: + 1 per-window dead slot for zero digits
     M0 = KC * N
     sizes = _round_sizes(M0, G)
+    use_packed = hasattr(group, "pack_rows")
+    P_rows = group.pack_rows(points) if use_packed else None
 
-    def pair_round(P_cur, counts, starts, size_out, src_transform=None):
-        """One pair-halving round: combine adjacent elements per bucket run.
+    def pair_indices(counts, starts, size_out):
+        """Output-slot -> (src, has_pair, new bookkeeping) for one round.
 
         The output-slot -> bucket map is a step function over sorted
         boundaries; since the queries are arange(size_out) it is computed as
@@ -132,16 +138,22 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
         new_starts = _excl_cumsum(new_counts)
         ends = starts + counts
         delta = starts - 2 * new_starts
-        # bid[j] = (# buckets with new_start <= j) - 1  (== searchsorted-right - 1)
         hist = jnp.bincount(jnp.clip(new_starts, 0, size_out), length=size_out + 1)
         bid = jnp.cumsum(hist[:size_out]).astype(jnp.int32) - 1
         bid = jnp.clip(bid, 0, Gd - 1)
         j = jnp.arange(size_out, dtype=jnp.int32)
         # one stacked table gather for (delta, ends) instead of two
         de = jnp.take(jnp.stack([delta, ends]), bid, axis=1)
-        src = 2 * j + de[0]
-        src = jnp.clip(src, 0, None)
+        src = jnp.clip(2 * j + de[0], 0, None)
         has_pair = (src + 1) < de[1]
+        return src, has_pair, new_counts, new_starts
+
+    def pair_round(P_cur, counts, starts, size_out, src_transform=None):
+        """One pair-halving round (tree-of-planes path: projective/Edwards
+        adapters): combine adjacent elements per bucket run."""
+        src, has_pair, new_counts, new_starts = pair_indices(
+            counts, starts, size_out
+        )
         if src_transform is None:
             A = group.gather(P_cur, src)
             B = group.gather(P_cur, jnp.where(has_pair, src + 1, src))
@@ -150,6 +162,30 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
             B = src_transform(jnp.where(has_pair, src + 1, src))
         added = group.add(A, B, valid=has_pair)
         P_new = group.select(has_pair, added, A)
+        return P_new, new_counts, new_starts
+
+    def pair_round_packed(P_cur, counts, starts, size_out, perm=None):
+        """Packed-path pair round: ONE lane gather for both operands (64+
+        limb rows move in a single take), signs/pass-through folded into the
+        fused add kernels. `perm` = (idx_s, sign_s) on round 0, reading the
+        original points through the sort permutation with on-the-fly
+        negation (reference reads points via the sorted index the same way,
+        msm-batched-affine.ts:456-502)."""
+        src, has_pair, new_counts, new_starts = pair_indices(
+            counts, starts, size_out
+        )
+        both = jnp.concatenate([src, jnp.where(has_pair, src + 1, src)])
+        if perm is not None:
+            idx_s, sign_s = perm
+            AB = jnp.take(P_rows, jnp.take(idx_s, both), axis=-1)
+            sg = jnp.take(sign_s, both)[None]
+            sA, sB = sg[:, :size_out], sg[:, size_out:]
+        else:
+            AB = jnp.take(P_cur, both, axis=-1)
+            sA = sB = jnp.zeros((1, size_out), jnp.int32)
+        A, B = AB[:, :size_out], AB[:, size_out:]
+        hp = has_pair.astype(jnp.int32)[None]
+        P_new = group.add_packed(A, B, sA, sB, hp)
         return P_new, new_counts, new_starts
 
     def chunk_body(_, digits_chunk):
@@ -185,30 +221,39 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
         slot_loc = jnp.arange(Gd, dtype=jnp.int32) % (L + 1)
         counts = jnp.where(slot_loc == L, 0, counts_full)
 
-        # round 0: reads original points through the sorted index (avoids
-        # materializing K*N gathered points; signs applied on the fly)
-        def src_from_points(src):
-            pt = group.gather(points, jnp.take(idx_s, src))
-            return group.neg_where(pt, jnp.take(sign_s, src).astype(bool))
+        size1 = sizes[1] if len(sizes) > 1 else M0
+        M_B = sizes[-1] if len(sizes) > 1 else M0
+        if use_packed:
+            P_cur, counts, starts = pair_round_packed(
+                None, counts, starts, size1, perm=(idx_s, sign_s)
+            )
+            for size_out in sizes[2:]:
+                P_cur, counts, starts = pair_round_packed(
+                    P_cur, counts, starts, size_out
+                )
+            round_fn = pair_round_packed
+        else:
+            # round 0: reads original points through the sorted index (avoids
+            # materializing K*N gathered points; signs applied on the fly)
+            def src_from_points(src):
+                pt = group.gather(points, jnp.take(idx_s, src))
+                return group.neg_where(pt, jnp.take(sign_s, src).astype(bool))
 
-        P_cur, counts, starts = pair_round(
-            None, counts, starts, sizes[1] if len(sizes) > 1 else M0,
-            src_transform=src_from_points,
-        )
-        # shrinking python-level rounds
-        for size_out in sizes[2:]:
-            P_cur, counts, starts = pair_round(P_cur, counts, starts, size_out)
+            P_cur, counts, starts = pair_round(
+                None, counts, starts, size1, src_transform=src_from_points
+            )
+            for size_out in sizes[2:]:
+                P_cur, counts, starts = pair_round(P_cur, counts, starts, size_out)
+            round_fn = pair_round
 
         # fixed-shape tail rounds until every bucket has <= 1 element
-        M_B = sizes[-1] if len(sizes) > 1 else M0
-
         def cond(state):
             _, counts, _ = state
             return jnp.max(counts) > 1
 
         def body(state):
             P_cur, counts, starts = state
-            return pair_round(P_cur, counts, starts, M_B)
+            return round_fn(P_cur, counts, starts, M_B)
 
         P_cur, counts, starts = jax.lax.while_loop(
             cond, body, (P_cur, counts, starts)
@@ -220,9 +265,14 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
             jax.lax.broadcasted_iota(jnp.int32, (KC, L), 0) * (L + 1)
             + jax.lax.broadcasted_iota(jnp.int32, (KC, L), 1)
         ).reshape(-1)
-        Bpt = group.gather(P_cur, jnp.take(starts, gid))
         valid = jnp.take(counts, gid) == 1
-        Bpt = group.select(valid, Bpt, group.zero_like((KC * L,)))
+        if use_packed:
+            Bp = jnp.take(P_cur, jnp.take(starts, gid), axis=-1)
+            ub = group.unpack_rows(Bp)
+            Bpt = type(ub)(ub.x, ub.y, ub.inf | jnp.logical_not(valid))
+        else:
+            Bpt = group.gather(P_cur, jnp.take(starts, gid))
+            Bpt = group.select(valid, Bpt, group.zero_like((KC * L,)))
         return None, Bpt
 
     _, buckets = jax.lax.scan(chunk_body, None, digits)

@@ -344,8 +344,6 @@ class FieldOps:
         python-constant limbs. Intermediates stay (2n, batch) — never
         (n, 2n-1, batch). Requires n*2^(2w) < 2^31 (w <= 13 at 384 bits)."""
         n, w = self.n, self.w
-        mu_limbs = self._mu_full_limbs()
-        p_limbs = [int(v) for v in np.asarray(self.p_limbs).reshape(-1)]
 
         if isinstance(x, tuple):
             # constant operand: limbs are python-int literals (zero limbs
@@ -356,6 +354,15 @@ class FieldOps:
             T = _conv_tree(terms, 2 * n)
         else:
             T = _conv_tree([(i, x[i] * y) for i in range(n)], 2 * n)
+        return self._mont_reduce_wide(T)
+
+    def _mont_reduce_wide(self, T: Array) -> Array:
+        """Montgomery-reduce a (2n, batch) schoolbook product accumulator
+        (limb values < n * 2^(2w)): carry, compute q = T*mu mod R, add q*p,
+        return the high n limbs (value in [0, 2p))."""
+        n, w = self.n, self.w
+        mu_limbs = self._mu_full_limbs()
+        p_limbs = [int(v) for v in np.asarray(self.p_limbs).reshape(-1)]
         Tc = self.carry_wide(T, bound=n << (2 * w))
         # q_k = sum_{i+j=k, k<n} Tc_i * mu_j  (mod R: only k < n kept)
         q = _conv_tree(
@@ -365,6 +372,24 @@ class FieldOps:
         M = _conv_tree([(j, q * pj) for j, pj in enumerate(p_limbs) if pj], 2 * n)
         Z = self.carry_wide(Tc + M, bound=(2 * n) << (2 * w))  # low n limbs = 0
         return Z[n:]
+
+    def _sqr_dot(self, x: Array) -> Array:
+        """Montgomery square with cross-term sharing (the TPU analog of the
+        reference's square, multiply-montgomery.ts:138-215): T_k =
+        sum_{i<j, i+j=k} 2 x_i x_j + [k even] x_{k/2}^2 needs n(n+1)/2 limb
+        products instead of n^2. The value of each T_k is unchanged, so the
+        carry bounds of _mont_reduce_wide still hold."""
+        n = self.n
+        x2 = x + x  # limbs < 2^(w+1); products x_i * 2 x_j < 2^(2w+1) fit
+        terms = []
+        for i in range(n):
+            if i + 1 < n:
+                vec = jnp.concatenate([x[i : i + 1], x2[i + 1 :]], axis=0)
+            else:
+                vec = x[i : i + 1]
+            terms.append((2 * i, x[i] * vec))
+        T = _conv_tree(terms, 2 * n)
+        return self._mont_reduce_wide(T)
 
     def _mu_full_limbs(self):
         cache = self.__dict__.get("_mu_cache")
@@ -491,9 +516,29 @@ class FieldOps:
         return outs
 
     def square(self, x: Array) -> Array:
-        """Montgomery square (cross-term sharing is a later optimization;
-        reference multiply-montgomery.ts:138-215)."""
-        return self.mul(x, x)
+        """Montgomery square x^2/R mod p; in/out in [0, 2p). Uses the
+        cross-term-sharing schedule (_sqr_dot) — ~n(n+1)/2 limb products vs
+        n^2 for mul (reference multiply-montgomery.ts:138-215). One cached
+        Pallas kernel on TPU, like mul."""
+        from . import kernels
+
+        if kernels.use_pallas():
+            return kernels.fused("mont_sqr", self._sqr_formula_f, [x],
+                                 [self.n])[0]
+        return self._sqr_impl(x)
+
+    def _sqr_formula(self, x: Array):
+        return [self._sqr_impl(x)]
+
+    @property
+    def _sqr_formula_f(self):
+        return self._sqr_formula
+
+    def _sqr_impl(self, x: Array) -> Array:
+        if self.n * (1 << (2 * self.w)) < (1 << 31):
+            MulCounter.record(x.shape)
+            return self._sqr_dot(x)
+        return self._mul_impl(x, x)
 
     def to_montgomery(self, x: Array) -> Array:
         """x -> x*R mod p (mont-mul by R^2; reference field-msm.ts:179-182)."""
@@ -593,7 +638,7 @@ class FieldOps:
             def body(i, acc):
                 d = jnp.sum(jnp.where(idx == i, digs, 0))
                 for _ in range(W):
-                    acc = self._mul_impl(acc, acc)
+                    acc = self._sqr_impl(acc)
                 sel = table[0]
                 for tv in range(1, 1 << W):
                     sel = jnp.where(d == tv, table[tv], sel)

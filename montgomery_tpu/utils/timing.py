@@ -53,17 +53,27 @@ def sync(tree) -> None:
     (observed on the axon TPU tunnel: it returns immediately while the device
     queue keeps executing). Fetching a single element to the host is a true
     barrier — the transfer cannot complete before the producing executable
-    finishes — and moves only a few bytes over the (slow) tunnel."""
+    finishes — and moves only a few bytes over the (slow) tunnel.
+
+    Only ONE leaf is fetched: outputs of a single jitted call all complete
+    together (one executable), and each fetch costs a full tunnel round trip
+    (~27 ms measured) — fetching every leaf of a 3-plane point batch was
+    adding ~80 ms of pure measurement bias to every timing."""
     import jax
     import numpy as np
 
     for leaf in jax.tree.leaves(tree):
         if hasattr(leaf, "ndim"):
             np.asarray(leaf[(0,) * leaf.ndim])
+            return
 
 
-def timeit(fn, *args, reps: int = 5, warmup: int = 2) -> float:
-    """Median wall time of fn(*args) with true device sync (see sync())."""
+def timeit(fn, *args, reps: int = 5, warmup: int = 2, inner: int = 1) -> float:
+    """Median wall time of fn(*args) with true device sync (see sync()).
+
+    `inner` > 1 enqueues that many back-to-back async dispatches per rep and
+    syncs once, amortizing the ~27 ms tunnel round trip of the sync fetch
+    over `inner` executions (JAX async dispatch pipelines the executions)."""
     import numpy as np
 
     for _ in range(warmup):
@@ -71,8 +81,11 @@ def timeit(fn, *args, reps: int = 5, warmup: int = 2) -> float:
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sync(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(inner):
+            out = fn(*args)
+        sync(out)
+        ts.append((time.perf_counter() - t0) / inner)
     return float(np.median(ts))
 
 
