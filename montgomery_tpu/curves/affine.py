@@ -188,48 +188,77 @@ class AffineOps:
 
     # ------------------------------------------------------------ packed form
     #
-    # The MSM pair-halving engine keeps points as ONE int32 array
-    # (2n+1, M): rows [x limbs | y limbs | inf flag]. One array means ONE
-    # lane gather per operand per round (instead of one per coordinate
-    # plane) — gathers are ~50% of accumulation time at 2^16 — and lets the
-    # add kernel fold in the sign application (round 0 reads points through
-    # the sort permutation with per-lane negation, reference
+    # The MSM pair-halving engine keeps points as ONE int32 array with TWO
+    # w-bit limbs per 32-bit row: rows [x lo-half | y lo-half | inf], where
+    # row j of a coordinate holds limbs j and j+ceil(n/2) as (lo | hi<<16).
+    # One array means ONE lane gather per operand per round (instead of one
+    # per coordinate plane) at HALF the int32 volume — gathers are ~40% of
+    # accumulation time at 2^16. The add kernels unpack/repack with
+    # shifts+masks (no sublane interleave: halves are contiguous row
+    # blocks) and fold in the sign application (round 0 reads points
+    # through the sort permutation with per-lane negation, reference
     # msm-batched-affine.ts:350-421) and the pass-through select for
-    # unpaired lanes.
+    # unpaired lanes. Requires w <= 16 (limbs must be canonical).
+
+    @property
+    def _half(self) -> int:
+        return (self.f.n + 1) // 2
 
     @property
     def packed_rows(self) -> int:
-        return 2 * self.f.n + 1
+        return 2 * self._half + 1
+
+    def _pack16(self, x: Array) -> Array:
+        """(n, M) canonical limbs -> (ceil(n/2), M): limb j | limb j+half << 16."""
+        n, h = self.f.n, self._half
+        lo = x[:h]
+        hi = x[h:]
+        if hi.shape[0] < h:
+            hi = jnp.concatenate(
+                [hi, jnp.zeros((h - hi.shape[0], *x.shape[1:]), x.dtype)], axis=0
+            )
+        return lo | (hi << 16)
+
+    def _unpack16(self, p: Array) -> Array:
+        n, h = self.f.n, self._half
+        lo = p & 0xFFFF
+        hi = (p >> 16) & 0xFFFF
+        return jnp.concatenate([lo, hi[: n - h]], axis=0)
 
     def pack_rows(self, A: AffineBatch) -> Array:
-        """AffineBatch -> (2n+1, M) int32 packed rows."""
+        """AffineBatch -> (2*ceil(n/2)+1, M) int32 packed rows."""
+        assert self.f.w <= 16
         inf = A.inf.astype(jnp.int32)[None]
-        return jnp.concatenate([A.x, A.y, inf], axis=0)
+        return jnp.concatenate([self._pack16(A.x), self._pack16(A.y), inf], axis=0)
 
     def unpack_rows(self, P: Array) -> AffineBatch:
-        n = self.f.n
-        return AffineBatch(P[:n], P[n : 2 * n], P[2 * n] != 0)
+        h = self._half
+        return AffineBatch(
+            self._unpack16(P[:h]), self._unpack16(P[h : 2 * h]), P[2 * h] != 0
+        )
 
     def _split_signed(self, A, sA):
         """Packed rows + sign plane -> (x, y sign-applied, inf plane)."""
-        f, n = self.f, self.f.n
-        x, y, inf = A[:n], A[n : 2 * n], A[2 * n : 2 * n + 1]
+        f, h = self.f, self._half
+        x = self._unpack16(A[:h])
+        y = self._unpack16(A[h : 2 * h])
+        inf = A[2 * h : 2 * h + 1]
         y = f._sel(sA[0] != 0, f.neg(y), y)
         return x, y, inf
 
     def _pre_packed_unsafe_formula(self, A, B, hp):
         """Packed unsafe pre-inversion: denom = x2 - x1, invalid (hp == 0)
         lanes get 1 so they cannot poison the shared inversion."""
-        f, n = self.f, self.f.n
-        d = f.sub(B[:n], A[:n])
+        f, h = self.f, self._half
+        d = f.sub(self._unpack16(B[:h]), self._unpack16(A[:h]))
         one = f.bc_full(f.one_mont, d)
         return [f._sel(hp[0] != 0, d, one)]
 
     def _post_packed_unsafe_formula(self, A, B, sA, sB, dinv, hp):
         """Packed unsafe post-inversion: chord completion with signs folded
         in and the pass-through select for unpaired lanes (output = sign-
-        applied A). Output: ONE packed (2n+1, M) array."""
-        f, n = self.f, self.f.n
+        applied A). Output: ONE packed (2*half+1, M) array."""
+        f = self.f
         x1, y1, inf1 = self._split_signed(A, sA)
         x2, y2, _ = self._split_signed(B, sB)
         lam = f.mul(f.sub(y2, y1), dinv)
@@ -239,7 +268,11 @@ class AffineOps:
         out_x = f._sel(hpm, x3, x1)
         out_y = f._sel(hpm, y3, y1)
         out_inf = jnp.where(hp != 0, jnp.zeros_like(inf1), inf1)
-        return [jnp.concatenate([out_x, out_y, out_inf], axis=0)]
+        return [
+            jnp.concatenate(
+                [self._pack16(out_x), self._pack16(out_y), out_inf], axis=0
+            )
+        ]
 
     def _pre_packed_formula(self, A, B, sA, sB, hp):
         """Packed SAFE pre-inversion (full edge-case triage of
@@ -263,7 +296,11 @@ class AffineOps:
         out_x = f._sel(hpm, x3, x1)
         out_y = f._sel(hpm, y3, y1)
         out_inf = jnp.where(hp != 0, inf3, inf1)
-        return [jnp.concatenate([out_x, out_y, out_inf], axis=0)]
+        return [
+            jnp.concatenate(
+                [self._pack16(out_x), self._pack16(out_y), out_inf], axis=0
+            )
+        ]
 
     def add_packed(self, A: Array, B: Array, sA: Array, sB: Array,
                    valid: Array, unsafe: bool = False) -> Array:

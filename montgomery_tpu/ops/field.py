@@ -735,26 +735,30 @@ class FieldOps:
         if handle_zero:
             zmask = self.is_zero(x)
             x = self._sel(zmask, jnp.broadcast_to(one, x.shape), x)
-        # pad N to a power of two with ones
-        Np = 1 << max(0, (N - 1).bit_length())
-        if Np != N:
-            pad = jnp.broadcast_to(jnp.asarray(self.one_mont).reshape(n, 1), (n, Np - N))
-            xp = jnp.concatenate([x, pad], axis=-1)
-        else:
-            xp = x
-        levels = [xp]
+        # tree over contiguous halves at ANY width: an odd level carries its
+        # last element through unchanged (padding to a power of two wasted up
+        # to 2x work — 676k padded to 1M at the 2^16 MSM's round 0)
+        levels = [x]
         while levels[-1].shape[-1] > self._BATCH_INV_STOP:
             v = levels[-1]
-            h = v.shape[-1] // 2
-            levels.append(self.mul(v[:, :h], v[:, h:]))
+            m = v.shape[-1]
+            h = m // 2
+            prod = self.mul(v[:, :h], v[:, h : 2 * h])
+            if m & 1:
+                prod = jnp.concatenate([prod, v[:, 2 * h :]], axis=-1)
+            levels.append(prod)
         inv_cur = self.inv(levels[-1])
         for v in reversed(levels[:-1]):
-            h = v.shape[-1] // 2
-            # inv_left = inv_cur * right ; inv_right = inv_cur * left
-            swapped = jnp.concatenate([v[:, h:], v[:, :h]], axis=-1)
-            inv2 = jnp.concatenate([inv_cur, inv_cur], axis=-1)
-            inv_cur = self.mul(inv2, swapped)
-        out = inv_cur[:, :N]
+            m = v.shape[-1]
+            h = m // 2
+            # inv_left = inv_parent * right ; inv_right = inv_parent * left
+            swapped = jnp.concatenate([v[:, h : 2 * h], v[:, :h]], axis=-1)
+            inv2 = jnp.concatenate([inv_cur[:, :h], inv_cur[:, :h]], axis=-1)
+            out = self.mul(inv2, swapped)
+            if m & 1:
+                out = jnp.concatenate([out, inv_cur[:, h : h + 1]], axis=-1)
+            inv_cur = out
+        out = inv_cur
         if handle_zero:
             out = self._sel(zmask, jnp.zeros_like(out), out)
         return out
