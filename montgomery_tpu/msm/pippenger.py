@@ -167,18 +167,20 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
     def pair_round_packed(P_cur, counts, starts, size_out, perm=None):
         """Packed-path pair round: ONE lane gather for both operands (64+
         limb rows move in a single take), signs/pass-through folded into the
-        fused add kernels. `perm` = (idx_s, sign_s) on round 0, reading the
-        original points through the sort permutation with on-the-fly
-        negation (reference reads points via the sorted index the same way,
-        msm-batched-affine.ts:456-502)."""
+        fused add kernels. `perm` on round 0 is the SORTED key array whose
+        low bits are (point index << 1 | sign): one small gather recovers
+        both, and the points are read through the composed permutation with
+        on-the-fly negation (reference reads points via the sorted index
+        the same way, msm-batched-affine.ts:456-502)."""
         src, has_pair, new_counts, new_starts = pair_indices(
             counts, starts, size_out
         )
         both = jnp.concatenate([src, jnp.where(has_pair, src + 1, src)])
         if perm is not None:
-            idx_s, sign_s = perm
-            AB = jnp.take(P_rows, jnp.take(idx_s, both), axis=-1)
-            sg = jnp.take(sign_s, both)[None]
+            perm_flat, nb = perm
+            pv = jnp.take(perm_flat, both)
+            AB = jnp.take(P_rows, (pv >> 1) & ((1 << nb) - 1), axis=-1)
+            sg = (pv & 1)[None]
             sA, sB = sg[:, :size_out], sg[:, size_out:]
         else:
             AB = jnp.take(P_cur, both, axis=-1)
@@ -203,29 +205,58 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
         nb = max((N - 1).bit_length(), 1)
         lb = (L).bit_length()  # loc in [0, L] needs c bits
         if lb + 1 + nb <= 31:
-            packed = (loc << (nb + 1)) | (sign << nb) | idx
+            packed = (loc << (nb + 1)) | (idx << 1) | sign
             (packed_s,) = jax.lax.sort((packed,), dimension=1, num_keys=1)
-            idx_s = (packed_s & ((1 << nb) - 1)).reshape(-1)
-            sign_s = ((packed_s >> nb) & 1).reshape(-1)
+            perm2d = packed_s & ((1 << (nb + 1)) - 1)  # idx<<1 | sign
+            loc_s = packed_s >> (nb + 1)
         else:
             payload = (idx << 1) | sign
-            _, payload_s = jax.lax.sort((loc, payload), dimension=1, num_keys=1)
-            idx_s = (payload_s >> 1).reshape(-1)
-            sign_s = (payload_s & 1).reshape(-1)
-        win = jax.lax.broadcasted_iota(jnp.int32, (KC, N), 0)
-        g = win * (L + 1) + loc
-        counts_full = jnp.bincount(g.reshape(-1), length=Gd).astype(jnp.int32)
-        # starts = true sorted positions (dead gaps included); dead slots are
-        # excluded from pairing by zeroing their counts
-        starts = _excl_cumsum(counts_full)
+            loc_s, perm2d = jax.lax.sort((loc, payload), dimension=1, num_keys=1)
+        perm_flat = perm2d.reshape(-1)
+
+        # counts/starts per bucket slot WITHOUT a full-width scatter (an XLA
+        # bincount over KC*N elements measured 10.9 ms at 2^16; sorts are
+        # ~2 ms): run-length encode the SORTED locs. A second per-window
+        # packed sort compacts the <= L+1 run boundaries to the front; a
+        # tiny scatter-min + reverse cummin turns them into dense
+        # first-position-with-loc>=b tables R, with counts[b] = R[b+1]-R[b]
+        # (empty slots collapse to zero-length runs).
+        lb2 = (L + 2).bit_length()
+        if lb2 + nb <= 31:
+            prev = jnp.concatenate(
+                [jnp.full((KC, 1), -1, jnp.int32), loc_s[:, :-1]], axis=1
+            )
+            isb = loc_s != prev
+            big = ((L + 2) << nb) | ((1 << nb) - 1)
+            bkey = jnp.where(isb, (loc_s << nb) | idx, big)
+            (bkey_s,) = jax.lax.sort((bkey,), dimension=1, num_keys=1)
+            bnd = bkey_s[:, : min(L + 1, N)]
+            loc_b = jnp.clip(bnd >> nb, 0, L + 2)
+            pos_b = bnd & ((1 << nb) - 1)
+            win_b = jax.lax.broadcasted_iota(jnp.int32, loc_b.shape, 0)
+            S = jnp.full((KC, L + 3), N, jnp.int32)
+            S = S.at[win_b, loc_b].min(pos_b)
+            S = S.at[:, L + 2].set(N)  # sentinel col absorbs non-boundaries
+            R = jax.lax.cummin(S[:, ::-1], axis=1)[:, ::-1]
+            starts_w = R[:, : L + 1]
+            counts_w = R[:, 1 : L + 2] - starts_w
+            woff = jnp.arange(KC, dtype=jnp.int32)[:, None] * N
+            starts = (starts_w + woff).reshape(-1)
+            counts = counts_w.reshape(-1)
+        else:
+            win = jax.lax.broadcasted_iota(jnp.int32, (KC, N), 0)
+            g = win * (L + 1) + loc
+            counts = jnp.bincount(g.reshape(-1), length=Gd).astype(jnp.int32)
+            starts = _excl_cumsum(counts)
+        # dead slots (zero digits, loc == L) are excluded from pairing
         slot_loc = jnp.arange(Gd, dtype=jnp.int32) % (L + 1)
-        counts = jnp.where(slot_loc == L, 0, counts_full)
+        counts = jnp.where(slot_loc == L, 0, counts)
 
         size1 = sizes[1] if len(sizes) > 1 else M0
         M_B = sizes[-1] if len(sizes) > 1 else M0
         if use_packed:
             P_cur, counts, starts = pair_round_packed(
-                None, counts, starts, size1, perm=(idx_s, sign_s)
+                None, counts, starts, size1, perm=(perm_flat, nb)
             )
             for size_out in sizes[2:]:
                 P_cur, counts, starts = pair_round_packed(
@@ -236,8 +267,9 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
             # round 0: reads original points through the sorted index (avoids
             # materializing K*N gathered points; signs applied on the fly)
             def src_from_points(src):
-                pt = group.gather(points, jnp.take(idx_s, src))
-                return group.neg_where(pt, jnp.take(sign_s, src).astype(bool))
+                pv = jnp.take(perm_flat, src)
+                pt = group.gather(points, (pv >> 1) & ((1 << nb) - 1))
+                return group.neg_where(pt, (pv & 1).astype(bool))
 
             P_cur, counts, starts = pair_round(
                 None, counts, starts, size1, src_transform=src_from_points

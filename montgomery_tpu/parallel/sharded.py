@@ -23,12 +23,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..msm.pippenger import bucket_accumulate, reduce_buckets
 
 
+def _butterfly_allreduce(group, buckets, axis: str, D: int):
+    """All-reduce a bucket tree over the mesh axis with the GROUP ADD as the
+    reduction operator (a psum of limb planes would be numerically wrong —
+    bucket entries are curve points)."""
+    s = 1
+    while s < D:
+        perm = [(i, i ^ s) for i in range(D)]
+        other = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), buckets)
+        buckets = group.add(buckets, other)
+        s <<= 1
+    return buckets
+
+
 def msm_sharded(group, points, digits, c: int, mesh: Mesh, axis: str = "dp",
-                window_chunk: int | None = None):
+                window_chunk: int | None = None, reduce_group=None,
+                to_reduce=None):
     """MSM with points/digits sharded along `axis` of `mesh`.
 
     points: group point batch (leaves (n, N) / (N,)), N divisible by mesh size
     digits: (K, N) int32 signed digits
+    reduce_group/to_reduce: optional separate group for the bucket reduction
+    (the batched-affine path accumulates in affine coordinates but reduces in
+    complete projective coordinates, mirroring the reference's
+    normalizeBucketsStorage step, msm-batched-affine.ts:289-297).
     Returns a replicated group point with trailing shape (1,).
     """
     D = mesh.shape[axis]
@@ -37,11 +55,13 @@ def msm_sharded(group, points, digits, c: int, mesh: Mesh, axis: str = "dp",
     def point_spec(a):
         return P(*([None] * (a.ndim - 1) + [axis]))
 
+    rg = reduce_group if reduce_group is not None else group
     in_specs = (
         jax.tree.map(point_spec, points),
         P(None, axis),
     )
-    out_specs = jax.tree.map(lambda a: P(), points)
+    probe = rg.zero_like((1,))
+    out_specs = jax.tree.map(lambda a: P(), probe)
 
     @partial(
         jax.shard_map,
@@ -55,18 +75,70 @@ def msm_sharded(group, points, digits, c: int, mesh: Mesh, axis: str = "dp",
             group, points_local, digits_local, c, window_chunk
         )
         # butterfly all-reduce over the mesh axis with the group add
-        s = 1
-        while s < D:
-            perm = [(i, i ^ s) for i in range(D)]
-            other = jax.tree.map(
-                lambda a: jax.lax.ppermute(a, axis, perm), buckets
-            )
-            buckets = group.add(buckets, other)
-            s <<= 1
+        buckets = _butterfly_allreduce(group, buckets, axis, D)
+        if to_reduce is not None:
+            buckets = to_reduce(buckets)
         # triangle + horner, redundantly replicated on each device
-        return reduce_buckets(group, buckets, c, K_pad, L)
+        return reduce_buckets(rg, buckets, c, K_pad, L)
 
     return run(points, digits)
+
+
+def msm_full_sharded(ctx, points, scalar_limbs, c: int, mesh: Mesh,
+                     axis: str = "dp", affine: bool = True,
+                     unsafe: bool = False, window_chunk: int | None = None):
+    """The FLAGSHIP multi-chip pipeline: everything on device, points and
+    scalars sharded along `axis` — GLV point expansion (endomorphism), GLV
+    decomposition + signed-digit slicing, packed batched-affine bucket
+    accumulation on each shard, butterfly point-add all-reduce of the bucket
+    grids over ICI, replicated projective reduction + Horner combine.
+
+    The TPU analog of the reference's full parallel msm
+    (msm-batched-affine.ts:69-339: range(N)-sharded prep, per-thread bucket
+    accumulation, cross-thread chunk aggregation, main-thread combine).
+
+    ctx: WeierstrassMsm; points: AffineBatch (N); scalar_limbs: (ns, N).
+    """
+    D = mesh.shape[axis]
+    assert D & (D - 1) == 0, "mesh axis size must be a power of two"
+    from ..scalar.device import digits_glv_device
+
+    group = ctx.aff_adapter_unsafe if unsafe else ctx.aff_adapter
+    if not affine:
+        group = ctx.adapter
+    rg = ctx.adapter
+
+    def point_spec(a):
+        return P(*([None] * (a.ndim - 1) + [axis]))
+
+    in_specs = (jax.tree.map(point_spec, points), P(None, axis))
+    out_specs = jax.tree.map(lambda a: P(), rg.zero_like((1,)))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run(pts_local, limbs_local):
+        # per-shard prep: endomorphism expansion + device GLV digits
+        # (reference: range(N)-sharded preparePointsAndScalars)
+        P2 = ctx.expand_points_glv(pts_local)
+        digits_local = digits_glv_device(ctx.glv_dev, limbs_local, c)
+        if affine:
+            src = P2
+        else:
+            src = rg.from_points(P2)
+        buckets, K_pad, L = bucket_accumulate(
+            group, src, digits_local, c, window_chunk
+        )
+        buckets = _butterfly_allreduce(group, buckets, axis, D)
+        if affine:
+            buckets = group.to_projective(buckets)
+        return reduce_buckets(rg, buckets, c, K_pad, L)
+
+    return run(points, scalar_limbs)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:

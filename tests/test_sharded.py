@@ -42,3 +42,38 @@ def test_msm_sharded_8dev(rng):
     S2 = jax.jit(lambda a, dg: msm_sharded(ctx.adapter, a, dg, c, mesh2))(A2, d2)
     got2 = ctx.proj.to_host(S2)[0]
     assert C.equal(got2, exp)
+
+
+def test_msm_flagship_sharded_8dev(rng):
+    """The FLAGSHIP pipeline (GLV expand + device GLV digits + packed
+    batched-affine accumulation + butterfly all-reduce) under shard_map,
+    vs the oracle."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from montgomery_tpu.bigint import msm as _oracle
+    from montgomery_tpu.concrete import BLS12_377
+    from montgomery_tpu.parallel import msm_full_sharded
+
+    C = WeierstrassCurve(BLS12_377)
+    ctx = WeierstrassMsm(BLS12_377)
+    N, c = 32, 4
+    pts = [C.scale(rng.randrange(1, 1 << 62), C.generator) for _ in range(N)]
+    sc = [rng.randrange(BLS12_377.order) for _ in range(N)]
+    sc[0] = 0
+    A = ctx.proj.affine_to_device(pts)
+    limbs = jnp.asarray(ctx.scalars_to_limbs(sc))
+    mesh = make_mesh(8)
+
+    def put(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(*([None] * (a.ndim - 1) + ["dp"])))
+        )
+
+    A = jax.tree.map(put, A)
+    limbs = put(limbs)
+    S = jax.jit(
+        lambda a, sl: msm_full_sharded(ctx, a, sl, c, mesh, unsafe=True)
+    )(A, limbs)
+    got = ctx.proj.to_host(S)[0]
+    assert C.equal(got, _oracle(C, sc, pts))
