@@ -44,7 +44,8 @@ def main():
 
     log2n = int(os.environ.get("MSM_LOG2N", "16"))
     N = 1 << log2n
-    ctx = WeierstrassMsm(BLS12_377)
+    w_env = int(os.environ.get("MSM_W", "0"))
+    ctx = WeierstrassMsm(BLS12_377, w=w_env) if w_env else WeierstrassMsm(BLS12_377)
     c = int(os.environ.get("MSM_C", "0")) or window_size(
         ctx.fops.mp.length_p, log2n
     )
@@ -55,7 +56,8 @@ def main():
     from montgomery_tpu.curves.projective import AffineBatch
 
     t0 = time.time()
-    cache = f".bench_cache/points_{log2n}.npz"
+    # cache holds Montgomery-form limb planes -> keyed by limb size w
+    cache = f".bench_cache/points_{log2n}_w{ctx.fops.w}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         pts = AffineBatch(jnp.asarray(z["x"]), jnp.asarray(z["y"]),
@@ -120,6 +122,15 @@ def main():
     med = float(np.median(times))
     std = float(np.std(times))
     log("msm: median %.4fs  std %.4fs  (%s)" % (med, std, ["%.4f" % t for t in times]))
+
+    # ---- phase split + memory watermark (reference deferred logs,
+    #      msm-common.ts:176-214; watermark memory-helpers.ts:266-276) ----
+    from montgomery_tpu.utils.memory import print_max_size_used
+
+    print_max_size_used(log=log)
+    if os.environ.get("MSM_PHASES", "1") == "1":
+        _, phases = ctx.msm_phases(P, limbs, c, affine=affine, unsafe=unsafe)
+        log("--- phase split ---\n" + phases.report())
 
     # ---- Montgomery mul throughput ----
     f = ctx.fops

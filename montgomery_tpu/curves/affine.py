@@ -13,6 +13,7 @@ Safe cost/lane: ~5M + amortized batch-inv (~3M). Unsafe: ~4M + ~3M.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..bigint.weierstrass import CurveParams
 from ..ops import limbs as codec
@@ -41,6 +42,9 @@ class AffineOps:
         self._post_packed_f = self._post_packed_formula
         self._pre_packed_u_f = self._pre_packed_unsafe_formula
         self._post_packed_u_f = self._post_packed_unsafe_formula
+        self._pack_glv_f = self._pack_glv_formula
+        beta = params.endomorphism.beta if params.endomorphism else 0
+        self.beta_mont = codec.pack_scalar(beta % p * R % p, fops.mp)
 
     def zero(self, N: int) -> AffineBatch:
         f = self.f
@@ -236,6 +240,34 @@ class AffineOps:
         return AffineBatch(
             self._unpack16(P[:h]), self._unpack16(P[h : 2 * h]), P[2 * h] != 0
         )
+
+    def _pack_glv_formula(self, x, y, inf):
+        """Fused GLV expansion + packing: emits packed rows for BOTH P and
+        phi(P) = (beta x, y) in one kernel (endomorphism reference
+        wasm/curve.ts:90-103). Replaces the separate mul_const + concat +
+        pack chain of expand_points_glv -> pack_rows, whose per-op dispatch
+        cost dominated the expand phase at 2^16 (round-3 verdict item #3)."""
+        f = self.f
+        beta_limbs = tuple(int(v) for v in np.asarray(self.beta_mont).reshape(-1))
+        xb = f._mul_const_impl(x, beta_limbs)
+        px, py = self._pack16(x), self._pack16(y)
+        return [
+            jnp.concatenate([px, py, inf], axis=0),
+            jnp.concatenate([self._pack16(xb), py, inf], axis=0),
+        ]
+
+    def pack_rows_glv(self, A: AffineBatch) -> Array:
+        """AffineBatch (N) -> packed rows (2*half+1, 2N) for the GLV point
+        list [P..., phi(P)...] — ONE fused kernel + one lane concat."""
+        from ..ops import kernels
+
+        assert self.f.w <= 16
+        R = self.packed_rows
+        infp = kernels.mask_to_plane(A.inf)
+        p1, p2 = kernels.fused(
+            "pack_glv", self._pack_glv_f, [A.x, A.y, infp], [R, R]
+        )
+        return jnp.concatenate([p1, p2], axis=-1)
 
     def _split_signed(self, A, sA):
         """Packed rows + sign plane -> (x, y sign-applied, inf plane)."""

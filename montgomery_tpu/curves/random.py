@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import limbs as codec
+from .edwards import EdwardsBatch, EdwardsOps
 from .projective import AffineBatch, ProjectiveOps
 
 
@@ -64,6 +65,53 @@ def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
         return proj.to_affine(acc)
 
     return combine(tab, jnp.asarray(idx))
+
+
+def random_points_edwards(
+    ed: EdwardsOps, N: int, seed: int = 0, oversample: float = 2.5
+) -> EdwardsBatch:
+    """N random twisted-Edwards subgroup points, fully on device (reference
+    curve-twisted-edwards.ts:269-312 randomPoints): draw random x, solve
+    y^2 = (1 + x^2) / (1 - d x^2)  (a = -1 curve equation rearranged),
+    take the masked windowed sqrt, compact successes, clear the cofactor.
+    """
+    f = ed.f
+    M = int(N * oversample) + 16
+    rng = np.random.default_rng(seed)
+    xs = rng.integers(0, 1 << 62, size=(M, (f.p.bit_length() // 62) + 1), dtype=np.int64)
+    vals = [int.from_bytes(b"".join(int(v).to_bytes(8, "little") for v in row), "little") % f.p
+            for row in xs]
+    X = jnp.asarray(codec.pack(vals, f.mp))
+
+    @jax.jit
+    def solve(X):
+        xm = f.to_montgomery(X)
+        one = f.bc_full(f.one_mont, xm)
+        (xx,) = f.mul_list([(xm, xm)])
+        num = f.add(one, xx)
+        den = f.sub(one, f.mul_const(xx, ed.d_mont))
+        y2 = f.mul(num, f.batch_inv(den, handle_zero=True))
+        y, ok = f.sqrt(y2)
+        # den == 0 (x on the asymptote) is not a valid point
+        ok = ok & jnp.logical_not(f.is_zero(den))
+        return xm, y, ok
+
+    Xm, Y, ok = solve(X)
+    okh = np.asarray(ok)
+    assert int(okh.sum()) >= N, "oversample too small for sqrt success rate"
+    order = np.argsort(~okh, kind="stable")[:N]
+    idx = jnp.asarray(order.astype(np.int32))
+
+    @jax.jit
+    def finish(Xm, Y, idx):
+        P = ed.from_affine_arrays(
+            jnp.take(Xm, idx, axis=-1), jnp.take(Y, idx, axis=-1)
+        )
+        if ed.params.cofactor != 1:
+            P = ed.scale(ed.params.cofactor, P)
+        return P
+
+    return finish(Xm, Y, idx)
 
 
 def random_points_weierstrass(

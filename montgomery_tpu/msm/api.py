@@ -26,7 +26,10 @@ class WeierstrassMsm:
     """MSM context for a short-Weierstrass curve (reference createWeierstraß,
     parallel.ts:40-177)."""
 
-    def __init__(self, params: CurveParams, w: int = 12):
+    def __init__(self, params: CurveParams, w: int = 13):
+        # w=13 (n=30 for 377-bit) measured 11% faster Montgomery muls than
+        # w=12 (n=32) on TPU v5e (.logs/experiments_r4.log) — the limb-size
+        # sweep the reference prescribes (doc/zprize22.md:184-185)
         self.params = params
         self.fops = create_field_ops(params.modulus, w=w)
         self.proj = ProjectiveOps(self.fops, params)
@@ -147,25 +150,103 @@ class WeierstrassMsm:
                         affine: bool = False, window_chunk=None,
                         unsafe: bool = False):
         """Traceable end-to-end step: GLV decompose + digit slicing + MSM,
-        all on device. points_affine: AffineBatch (N); scalar_limbs (ns, N)."""
+        all on device. points_affine: AffineBatch (N); scalar_limbs (ns, N).
+
+        On the batched-affine path the GLV point expansion is FUSED with the
+        16-bit row packing (AffineOps.pack_rows_glv): one kernel emits packed
+        rows for [P..., phi(P)...] directly, instead of a separate
+        endomorphism mul + concat + pack chain (round-3 profile: the expand
+        phase was ~99% dispatch overhead)."""
         from ..scalar.device import digits_glv_device
 
         digits = digits_glv_device(self.glv_dev, scalar_limbs, c)
+        if affine:
+            rows = self.affine.pack_rows_glv(points_affine)
+            return msm_digits_affine(
+                self.aff_adapter_unsafe if unsafe else self.aff_adapter,
+                self.adapter, rows, digits, c, window_chunk=window_chunk,
+            )
         return self.msm_device(self.expand_points_glv(points_affine), digits, c,
                                affine=affine, window_chunk=window_chunk,
                                unsafe=unsafe)
 
-    def msm_full(self, scalars, points: list[AffinePoint], c: int | None = None) -> AffinePoint:
-        """Host entry: everything after numpy ingestion runs in ONE jit."""
+    def msm_phases(self, points_affine, scalar_limbs, c: int,
+                   affine: bool = True, unsafe: bool = False):
+        """Run the pipeline as separately-jitted phases with a device sync
+        between each, returning (result, PhaseLog) — the TPU analog of the
+        reference's deferred per-phase logs attached to the msm result
+        (msm-common.ts:176-214, msm-batched-affine.ts:306-339; on TPU the
+        production path is ONE fused executable, so phase timing requires
+        phase-split executables)."""
+        from ..scalar.device import digits_glv_device
+        from ..utils.timing import PhaseLog, sync
+        from .pippenger import bucket_accumulate, reduce_buckets
+
+        group = self.aff_adapter_unsafe if unsafe else self.aff_adapter
+        if not affine:
+            group = self.adapter
+        j = self._jits
+        key = ("phases", c, affine, unsafe)
+        if key not in j:
+            L = 1 << (c - 1)
+            K_pad = num_windows(self.glv_dev.max_bits_eff, c)
+            f_digits = jax.jit(lambda sl: digits_glv_device(self.glv_dev, sl, c))
+            if affine:
+                f_expand = jax.jit(self.affine.pack_rows_glv)
+                f_acc = jax.jit(
+                    lambda p, d: bucket_accumulate(group, p, d, c)[0])
+                f_red = jax.jit(
+                    lambda b: reduce_buckets(
+                        self.adapter, group.to_projective(b), c, K_pad, L))
+            else:
+                f_expand = jax.jit(self.expand_points_glv)
+                f_acc = jax.jit(
+                    lambda p, d: bucket_accumulate(
+                        group, group.from_points(p), d, c)[0])
+                f_red = jax.jit(
+                    lambda b: reduce_buckets(self.adapter, b, c, K_pad, L))
+            j[key] = (f_digits, f_expand, f_acc, f_red)
+        f_digits, f_expand, f_acc, f_red = j[key]
+        log = PhaseLog()
+        # TWO warm passes (excluded): the axon tunnel pays executable-upload
+        # cost on the first call AND a lazy-load cost on the second; timings
+        # below are steady state
+        for _ in range(2):
+            S = f_red(f_acc(f_expand(points_affine), f_digits(scalar_limbs)))
+            sync(S)
+        with log.phase("digits (GLV+slice)"):
+            digits = f_digits(scalar_limbs)
+            sync(digits)
+        with log.phase("expand (endo)"):
+            P2 = f_expand(points_affine)
+            sync(P2)
+        with log.phase("accumulate"):
+            buckets = f_acc(P2, digits)
+            sync(buckets)
+        with log.phase("reduce+horner"):
+            S = f_red(buckets)
+            sync(S)
+        return S, log
+
+    def msm_full(self, scalars, points: list[AffinePoint], c: int | None = None,
+                 affine: bool = True, unsafe: bool = False) -> AffinePoint:
+        """Host entry: everything after numpy ingestion (GLV decompose, digit
+        slicing, accumulation, reduction) runs in ONE jit — the serve hot
+        path (reference does decomposition inside the parallel msm,
+        scripts/zprize23/submission.ts:19-35). Default is the flagship
+        batched-affine engine with the SAFE complete add (correct even for
+        duplicate/adversarial inputs); unsafe=True gives the reference's
+        msmUnsafe contract."""
         N = len(points)
         if c is None:
             c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
         limbs = jnp.asarray(self.scalars_to_limbs(scalars))
         A = self.proj.affine_to_device(points)
-        key = ("full", N, c)
+        key = ("full", N, c, affine, unsafe)
         if key not in self._jits:
             self._jits[key] = jax.jit(
-                lambda pts, sl: self.msm_device_full(pts, sl, c)
+                lambda pts, sl: self.msm_device_full(pts, sl, c, affine=affine,
+                                                     unsafe=unsafe)
             )
         S = self._jits[key](A, limbs)
         return self.proj.to_host(S)[0]
@@ -175,7 +256,7 @@ class EdwardsMsm:
     """MSM context for a twisted-Edwards curve (reference createTwistedEdwards,
     parallel.ts:179-289)."""
 
-    def __init__(self, params: EdwardsParams, w: int = 12):
+    def __init__(self, params: EdwardsParams, w: int = 13):
         self.params = params
         self.fops = create_field_ops(params.modulus, w=w)
         self.ed = EdwardsOps(self.fops, params)

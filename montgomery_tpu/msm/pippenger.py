@@ -124,7 +124,13 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
     M0 = KC * N
     sizes = _round_sizes(M0, G)
     use_packed = hasattr(group, "pack_rows")
-    P_rows = group.pack_rows(points) if use_packed else None
+    # `points` may already be a prepacked (rows, N) array (produced by a
+    # fused prep kernel like AffineOps.pack_rows_glv) — the packed path only
+    # ever reads points through P_rows
+    if use_packed:
+        P_rows = points if isinstance(points, jax.Array) else group.pack_rows(points)
+    else:
+        P_rows = None
 
     def pair_indices(counts, starts, size_out):
         """Output-slot -> (src, has_pair, new bookkeeping) for one round.
@@ -402,26 +408,38 @@ def reduce_buckets(group, buckets, c: int, K_pad: int, L: int):
     low = _tree_reduce_axis(group, Csuf, S, axis_from_end=0)
     window_sums = group.add(high, low)  # (n, K_pad, 1)
 
-    # horner combine over windows, high to low
-    def horner_step(S, k):
-        if hasattr(group, "double_n"):
-            S = group.double_n(S, c)
-        else:
-            S = jax.lax.fori_loop(0, c, lambda _, P: group.double(P), S)
-        Wk = jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, k, axis=-2, keepdims=False)
-            if a.ndim >= 2
-            else a,
-            window_sums,
-        )
-        return group.add(S, Wk), None
+    # window combine: S = sum_k 2^(ck) W_k, log-depth halves pairing instead
+    # of the sequential Horner scan (reference msm-batched-affine.ts:322-334
+    # does K_pad-1 sequential rounds of c doublings + 1 add; at ~O(1) fixed
+    # cost per device op that is ~3*K_pad dispatches on 1-lane arrays). Here:
+    # split k = i + (K2/2) j and fold halves, W_i += 2^(c*K2/2) W_{i+K2/2} —
+    # each level is ONE fused double_n kernel + ONE add at contiguous slices,
+    # so the whole combine is 2*log2(K2) kernels (lane width is padded to the
+    # vector tile anyway, so the extra doubling lanes are free).
+    W = jax.tree.map(
+        lambda a: a.reshape(*a.shape[:-2], a.shape[-2]), window_sums
+    )  # leaves (n, K_pad)
+    K2 = _next_pow2(K_pad)
+    if K2 != K_pad:
+        ident = group.zero_like((K2 - K_pad,))
+        W = jax.tree.map(lambda a, z: jnp.concatenate([a, z], axis=-1), W, ident)
+    m = K2
+    while m > 1:
+        h = m // 2
 
-    top = jax.tree.map(
-        lambda a: jax.lax.dynamic_index_in_dim(a, K_pad - 1, axis=-2, keepdims=False),
-        window_sums,
-    )
-    if K_pad == 1:
-        return top
-    ks = jnp.arange(K_pad - 2, -1, -1, dtype=jnp.int32)
-    S, _ = jax.lax.scan(horner_step, top, ks)
-    return S
+        def lo(a, h=h):
+            return jax.lax.slice_in_dim(a, 0, h, axis=a.ndim - 1)
+
+        def hi(a, h=h, m=m):
+            return jax.lax.slice_in_dim(a, h, m, axis=a.ndim - 1)
+
+        top = jax.tree.map(hi, W)
+        if hasattr(group, "double_n"):
+            top = group.double_n(top, c * h)
+        else:
+            top = jax.lax.fori_loop(
+                0, c * h, lambda _, P: group.double(P), top
+            )
+        W = group.add(jax.tree.map(lo, W), top)
+        m = h
+    return W

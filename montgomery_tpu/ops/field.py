@@ -502,7 +502,7 @@ class FieldOps:
         separately there."""
         from . import kernels
 
-        if len(pairs) == 1 or kernels._IN_KERNEL:
+        if len(pairs) == 1 or kernels.in_kernel():
             return [self.mul(a, b) for a, b in pairs]
         xs = jnp.concatenate([a for a, _ in pairs], axis=-1)
         ys = jnp.concatenate([b for _, b in pairs], axis=-1)
@@ -765,14 +765,105 @@ class FieldOps:
 
     # ------------------------------------------------------------------ sqrt
 
+    def sqr_n(self, x: Array, m: int) -> Array:
+        """m successive Montgomery squarings as ONE fused kernel (fori over
+        the squaring body — the chain stays VMEM-resident; dispatching m
+        separate square kernels costs ~1 ms each on the TPU tunnel)."""
+        if m <= 0:
+            return x
+        from . import kernels
+
+        cache = self.__dict__.setdefault("_sqrn_cache", {})
+        fn = cache.get(m)
+        if fn is None:
+
+            def fn(x, _m=m):
+                return [
+                    jax.lax.fori_loop(0, _m, lambda _, a: self._sqr_impl(a), x)
+                ]
+
+            cache[m] = fn
+        if kernels.use_pallas():
+            return kernels.fused(f"sqr_n_{m}", fn, [x], [self.n])[0]
+        return fn(x)[0]
+
+    _SQRT_WINDOW = 4  # dlog window bits (2^4-entry implicit tables)
+
+    def _sqrt_window_formula(self, k: int, lk: int, chain: int, M: int,
+                             last: bool):
+        """Cached fused formula for sqrt dlog window k: push t into the
+        order-2^lk subgroup (chain squarings, fori), extract lk exponent
+        bits with a mini bitwise dlog (lk(lk-1)/2 squarings + lk compares),
+        and apply the per-bit corrections to t and to the root accumulator r
+        with masked constant muls. The windowed structure is the TPU analog
+        of the reference's table-based sqrt (field-sqrt.ts:113-265): lookup
+        tables become masked multiplies by hoisted constants, and the
+        O(M^2/2) squaring chain of the bitwise method drops to ~M^2/(2*W).
+        Outputs [t', r', bits-plane] (bits-plane = window digit, int32)."""
+        cache = self.__dict__.setdefault("_sqrt_win_cache", {})
+        key = (k, lk, chain, M, last)
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        g_pows = np.asarray(self.sqrt_g_inv_pows)  # (M, n, 1) host consts
+        W = self._SQRT_WINDOW
+
+        def fn(t, r, _k=k, _lk=lk, _chain=chain, _last=last):
+            one = jnp.broadcast_to(
+                jnp.asarray(self.one_mont).reshape(
+                    (self.n,) + (1,) * (t.ndim - 1)
+                ),
+                t.shape,
+            )
+            # s = t^(2^chain): order divides 2^lk
+            if _chain > 0:
+                s = jax.lax.fori_loop(
+                    0, _chain, lambda _, a: self._sqr_impl(a), t
+                )
+            else:
+                s = t
+            digit = jnp.zeros((1, *t.shape[1:]), jnp.int32)
+            v = s
+            for i in range(_lk):
+                chk = v
+                for _ in range(_lk - 1 - i):
+                    chk = self._sqr_impl(chk)
+                bit = jnp.logical_not(self.is_equal(chk, one))
+                bitp = bit.astype(jnp.int32)[None]
+                digit = digit | (bitp << i)
+                j = _k * W + i  # global exponent bit position
+                if i < _lk - 1:  # v only feeds higher bits of this window
+                    gl = jnp.asarray(g_pows[M - _lk + i]).reshape(
+                        (self.n,) + (1,) * (t.ndim - 1)
+                    )
+                    v = self._sel(bit, self._mul_impl(v, jnp.broadcast_to(gl, v.shape)), v)
+                if not _last:  # t only feeds later windows
+                    gj = jnp.asarray(g_pows[j]).reshape(
+                        (self.n,) + (1,) * (t.ndim - 1)
+                    )
+                    t = self._sel(bit, self._mul_impl(t, jnp.broadcast_to(gj, t.shape)), t)
+                if j >= 1:  # root correction g^(-2^(j-1)); j=0 is the parity bit
+                    gr = jnp.asarray(g_pows[j - 1]).reshape(
+                        (self.n,) + (1,) * (t.ndim - 1)
+                    )
+                    r = self._sel(bit, self._mul_impl(r, jnp.broadcast_to(gr, r.shape)), r)
+            return [t, r, digit]
+
+        cache[key] = fn
+        return fn
+
     def sqrt(self, x: Array):
         """Square roots over the batch; returns (root_mont, is_square_mask).
 
-        x in Montgomery form, in [0, 2p). Uses Pohlig-Hellman dlog in the
-        2-Sylow subgroup with a uniform masked loop — replaces the branchy
-        Tonelli-Shanks / table-based sqrt of the reference (field-sqrt.ts).
+        x in Montgomery form, in [0, 2p). Pohlig-Hellman dlog in the 2-Sylow
+        subgroup with 4-bit windows: ceil(M/4) fused kernels total (one per
+        window), each containing its squaring chain, mini-dlog, and masked
+        constant corrections — the TPU re-design of the reference's
+        table-based sqrt for high-2-adicity fields (field-sqrt.ts:113-265).
         For non-squares the root output is 0. root satisfies root^2 == x.
         """
+        from . import kernels
+
         M, q = self.sqrt_M, self.sqrt_q_odd
         assert self.sqrt_g_inv_pows is not None, "sqrt not precomputed"
         zmask = self.is_zero(x)
@@ -788,29 +879,29 @@ class FieldOps:
             # p == 2 or trivial; x^((q+1)/2) is already the root
             return self._sel(zmask, jnp.zeros_like(r0), r0), jnp.ones_like(zmask)
 
-        g_inv = jnp.asarray(self.sqrt_g_inv_pows)  # (M, n, 1)
-        one_b = jnp.broadcast_to(one, u.shape)
+        W = self._SQRT_WINDOW
+        t, r = u, r0
+        parity = None
+        done = 0
+        k = 0
+        while done < M:
+            lk = min(W, M - done)
+            chain = M - done - lk
+            last = done + lk >= M
+            fn = self._sqrt_window_formula(k, lk, chain, M, last)
+            if kernels.use_pallas():
+                t, r, digit = kernels.fused(
+                    f"sqrt_win_{M}_{k}_{lk}_{chain}", fn, [t, r],
+                    [self.n, self.n, 1],
+                )
+            else:
+                t, r, digit = fn(t, r)
+            if k == 0:
+                parity = (digit[0] & 1) != 0
+            done += lk
+            k += 1
 
-        def dlog_step(v, j):
-            # s = v^(2^(M-1-j)); bit_j(e) = (s != 1)
-            s = jax.lax.fori_loop(0, M - 1 - j, lambda _, a: self.square(a), v)
-            bit = jnp.logical_not(self.is_equal(s, one_b))
-            gj = jax.lax.dynamic_index_in_dim(g_inv, j, axis=0, keepdims=False)
-            v = self._sel(bit, self.mul(v, jnp.broadcast_to(gj, v.shape)), v)
-            return v, bit
-
-        _, bits = jax.lax.scan(dlog_step, u, jnp.arange(M, dtype=jnp.int32))
-        # sqrt exists iff e is even (bit_0 == 0); root = r0 * g^(-e/2)
-        is_square = jnp.logical_not(bits[0])
-
-        def corr_step(r, j):
-            gj = jax.lax.dynamic_index_in_dim(g_inv, j - 1, axis=0, keepdims=False)
-            r = self._sel(bits[j], self.mul(r, jnp.broadcast_to(gj, r.shape)), r)
-            return r, None
-
-        r = r0
-        if M > 1:
-            r, _ = jax.lax.scan(corr_step, r0, jnp.arange(1, M, dtype=jnp.int32))
+        is_square = jnp.logical_not(parity)
         r = self._sel(is_square, r, jnp.zeros_like(r))
         r = self._sel(zmask, jnp.zeros_like(r), r)
         is_square = jnp.logical_or(is_square, zmask)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -44,11 +45,26 @@ _FORCE: bool | None = None
 #               CPU test suites are otherwise compile-bound — a full inline
 #               MSM program is ~250k HLO ops and takes 400+ s to compile.
 _MODE = "compiled"
-_IN_KERNEL = False
+
+
+class _ThreadState(threading.local):
+    """in_kernel must be thread-local: callback-mode formulas evaluate on
+    runtime callback threads (one per shard under shard_map) while other
+    threads may be tracing."""
+
+    def __init__(self):
+        self.in_kernel = False
+
+
+_TLS = _ThreadState()
+
+
+def in_kernel() -> bool:
+    return _TLS.in_kernel
 
 
 def use_pallas() -> bool:
-    if _IN_KERNEL:
+    if _TLS.in_kernel:
         return False
     if _FORCE is not None:
         return _FORCE
@@ -86,13 +102,12 @@ def _trace_formula(fn, in_rows: tuple):
     out of the jaxpr, so they can be passed to pallas_call as explicit
     inputs — pl.pallas_call rejects kernels that close over array
     constants (the round-1 TPU crash)."""
-    global _IN_KERNEL
     avals = [jax.ShapeDtypeStruct((r, TILE), jnp.int32) for r in in_rows]
-    _IN_KERNEL = True  # nested fused() calls must inline into this trace
+    _TLS.in_kernel = True  # nested fused() calls must inline into this trace
     try:
         closed = jax.make_jaxpr(fn)(*avals)
     finally:
-        _IN_KERNEL = False
+        _TLS.in_kernel = False
     consts = [np.asarray(c) for c in closed.consts]
     return closed.jaxpr, consts
 
@@ -207,24 +222,61 @@ def pallas_map(fn, name: str, inputs: list, out_rows: list[int]):
     return outs
 
 
+_CB_JIT_CACHE: dict = {}
+
+
+def _callback_jit(formula, in_rows: tuple, n_pad: int):
+    """Compiled-once formula for callback mode: lanes are canonicalized to
+    multiples of TILE so ~one executable per formula covers every call site
+    (compiles land in the persistent cache; eager per-op evaluation of a
+    2-5k-op mul formula inside the callback was ~1000x slower)."""
+    key = (formula, in_rows, n_pad)
+    fn = _CB_JIT_CACHE.get(key)
+    if fn is None:
+
+        def wrapped(*args, _formula=formula):
+            out = _formula(*args)
+            return tuple(out) if isinstance(out, (list, tuple)) else (out,)
+
+        fn = jax.jit(wrapped)
+        _CB_JIT_CACHE[key] = fn
+    return fn
+
+
 def _callback_apply(formula, inputs: list, out_rows: list[int]):
-    """Run the formula as ONE pure_callback op: eager jnp evaluation at
-    runtime, a single opaque op at compile time."""
+    """Run the formula as ONE pure_callback op: a single opaque op at
+    compile time; at runtime the callback invokes a jit-compiled version of
+    the formula at a canonical lane count."""
     batch = inputs[0].shape[1:]
     result_shapes = tuple(
         jax.ShapeDtypeStruct((r, *batch), jnp.int32) for r in out_rows
     )
+    N = int(np.prod(batch)) if batch else 1
+    # pad to the next power of two (>= TILE): the shrinking pair-halving
+    # rounds then share ~log2 distinct executables per formula instead of
+    # one per round size
+    n_pad = TILE
+    while n_pad < N:
+        n_pad <<= 1
+    in_rows = tuple(a.shape[0] for a in inputs)
 
-    def host_fn(*args, _formula=formula):
-        global _IN_KERNEL
-        _IN_KERNEL = True  # nested fused() calls must run inline
+    def host_fn(*args, _formula=formula, _N=N, _n_pad=n_pad,
+                _in_rows=in_rows, _out_rows=tuple(out_rows), _batch=batch):
+        _TLS.in_kernel = True  # nested fused() calls must run inline
         try:
-            out = _formula(*[jnp.asarray(a) for a in args])
+            flat = [np.asarray(a).reshape(r, _N) for a, r in zip(args, _in_rows)]
+            if _n_pad != _N:
+                flat = [
+                    np.pad(a, ((0, 0), (0, _n_pad - _N))) for a in flat
+                ]
+            fn = _callback_jit(_formula, _in_rows, _n_pad)
+            out = fn(*[jnp.asarray(a) for a in flat])
+            return tuple(
+                np.asarray(o)[:, :_N].reshape(r, *_batch)
+                for o, r in zip(out, _out_rows)
+            )
         finally:
-            _IN_KERNEL = False
-        if not isinstance(out, (list, tuple)):
-            out = (out,)
-        return tuple(np.asarray(o) for o in out)
+            _TLS.in_kernel = False
 
     res = jax.pure_callback(host_fn, result_shapes, *inputs)
     return list(res)

@@ -10,6 +10,15 @@ bucket-chunk aggregation (msm-batched-affine.ts:306-318) becomes a butterfly
 not a numeric sum (psum of limb arrays would be wrong — SURVEY.md §7.3
 item 6). The final triangle+Horner reduction is computed redundantly on every
 device (it is tiny relative to the accumulation phase).
+
+Correctness note (round-3 verdict fix): the cross-shard combine ALWAYS runs in
+complete projective coordinates with the RCB complete add, regardless of how
+the per-shard accumulation ran. Cross-shard bucket grids structurally contain
+empty buckets (infinity) and can contain equal bucket sums (doubling case);
+the unsafe affine add silently drops infinity flags and divides by zero on
+equal points, so it must never be the all-reduce operator. The reference's
+cross-thread aggregation is likewise exact (msm-batched-affine.ts:306-318,
+projective addAssign).
 """
 
 from __future__ import annotations
@@ -74,10 +83,12 @@ def msm_sharded(group, points, digits, c: int, mesh: Mesh, axis: str = "dp",
         buckets, K_pad, L = bucket_accumulate(
             group, points_local, digits_local, c, window_chunk
         )
-        # butterfly all-reduce over the mesh axis with the group add
-        buckets = _butterfly_allreduce(group, buckets, axis, D)
+        # cross-shard combine must be COMPLETE (empty/equal buckets are
+        # structural): convert to the reduce group first, then butterfly
+        # all-reduce with its complete add
         if to_reduce is not None:
             buckets = to_reduce(buckets)
+        buckets = _butterfly_allreduce(rg, buckets, axis, D)
         # triangle + horner, redundantly replicated on each device
         return reduce_buckets(rg, buckets, c, K_pad, L)
 
@@ -123,19 +134,23 @@ def msm_full_sharded(ctx, points, scalar_limbs, c: int, mesh: Mesh,
     )
     def run(pts_local, limbs_local):
         # per-shard prep: endomorphism expansion + device GLV digits
-        # (reference: range(N)-sharded preparePointsAndScalars)
-        P2 = ctx.expand_points_glv(pts_local)
+        # (reference: range(N)-sharded preparePointsAndScalars); on the
+        # affine path the expansion is fused with the 16-bit row packing
         digits_local = digits_glv_device(ctx.glv_dev, limbs_local, c)
         if affine:
-            src = P2
+            src = ctx.affine.pack_rows_glv(pts_local)
         else:
-            src = rg.from_points(P2)
+            src = rg.from_points(ctx.expand_points_glv(pts_local))
         buckets, K_pad, L = bucket_accumulate(
             group, src, digits_local, c, window_chunk
         )
-        buckets = _butterfly_allreduce(group, buckets, axis, D)
+        # cross-shard combine in COMPLETE projective coordinates (see module
+        # docstring): empty buckets (inf) and equal cross-shard bucket sums
+        # are structural; the RCB complete add handles both, the unsafe
+        # affine add does not.
         if affine:
             buckets = group.to_projective(buckets)
+        buckets = _butterfly_allreduce(rg, buckets, axis, D)
         return reduce_buckets(rg, buckets, c, K_pad, L)
 
     return run(points, scalar_limbs)

@@ -78,10 +78,16 @@ def compute_msm(points, scalars, curve: str = "bls12-377",
     pts = _coerce_points(ctx, points)
     sc = _coerce_scalars(ctx, scalars)
     if isinstance(ctx, WeierstrassMsm):
-        use_glv = ctx.glv is not None
-        R = ctx.msm_glv(sc, pts, c=c) if use_glv else ctx.msm(sc, pts, c=c)
+        # hot path: everything after numpy ingestion is ONE jit — device GLV
+        # decomposition + digit slicing + batched-affine MSM (no per-scalar
+        # Python; reference decomposes inside the parallel msm,
+        # scripts/zprize23/submission.ts:26-30)
+        if ctx.glv is not None:
+            R = ctx.msm_full(sc, pts, c=c)
+        else:
+            R = ctx.msm(sc, pts, c=c)
         if R.is_zero:
             return (0, 0)
         return (R.x, R.y)
-    R = ctx.msm(sc, pts, c=c)
+    R = ctx.msm_full(sc, pts, c=c)
     return (R.x, R.y)

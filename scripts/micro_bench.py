@@ -30,7 +30,7 @@ def main():
     from montgomery_tpu.concrete import BLS12_377
     from montgomery_tpu.ops.field import create_field_ops
 
-    sections = sys.argv[1:] or ["rtt", "launch", "mul", "gather", "sort"]
+    sections = sys.argv[1:] or ["rtt", "launch", "mul", "altmul", "gather", "sort"]
     print(f"backend={jax.default_backend()}", flush=True)
 
     f = create_field_ops(BLS12_377.modulus, w=12)
@@ -91,6 +91,34 @@ def main():
         print(f"field add:   {R_CHAIN*N/t/1e6:.1f} M adds/s")
         t = timeit(jax.jit(lambda x: f.batch_inv(x)), X, reps=3)
         print(f"batch_inv:   {N/t/1e6:.1f} M inv/s ({t*1e3:.1f} ms @2^18)")
+
+    if "altmul" in sections:
+        # alternative multipliers (reference field-benchmark.ts:28-120
+        # montgomery vs barrett vs schoolbook validation sweep)
+        from montgomery_tpu.ops.alt_mul import (
+            barrett_mul, barrett_params, schoolbook_product,
+        )
+
+        bp = barrett_params(f)
+        R_CHAIN = 10
+
+        def chain(op):
+            def run(x, y):
+                z = x
+                for _ in range(R_CHAIN):
+                    z = op(z, y)
+                return z
+            return jax.jit(run)
+
+        t = timeit(chain(f.mul), X, Y, reps=5)
+        print(f"montgomery mul:   {R_CHAIN*N/t/1e6:8.1f} M muls/s")
+        t = timeit(chain(lambda a, b: barrett_mul(bp, a, b)), X, Y, reps=5)
+        print(f"barrett mul:      {R_CHAIN*N/t/1e6:8.1f} M muls/s")
+        t = timeit(
+            chain(lambda a, b: schoolbook_product(f, a, b)[: f.n]), X, Y,
+            reps=5,
+        )
+        print(f"schoolbook (low): {R_CHAIN*N/t/1e6:8.1f} M prods/s")
 
     if "gather" in sections:
         M = 1 << 20

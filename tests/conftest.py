@@ -25,6 +25,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import pytest  # noqa: E402
 import random  # noqa: E402
 
+# Default kernel mode for the suite: CALLBACK — every fused field/group
+# formula runs as ONE opaque pure_callback op (eagerly evaluated, identical
+# formula code), so tests that jit whole MSM pipelines compile in seconds
+# instead of minutes (a fully inlined MSM program is ~250k HLO ops and was
+# the reason the round-3 suite could not finish). The pallas wrapper itself
+# is covered by tests/test_pallas_kernels.py (interpret mode), the compiled
+# path by the TPU bench. Individual tests can override with
+# kernels.force_pallas(...) as usual (the context manager restores this
+# default on exit).
+from montgomery_tpu.ops import kernels  # noqa: E402
+
+kernels._FORCE = True
+kernels._MODE = "callback"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: production-shape tests (run with -m slow or by file)"
+    )
+
 
 @pytest.fixture
 def rng():

@@ -48,3 +48,31 @@ def test_compute_msm_edwards(rng):
 def test_unknown_curve():
     with pytest.raises(KeyError):
         get_curve("nope")
+
+
+def test_serve_no_per_scalar_python(rng, monkeypatch):
+    """The serve hot path must not touch the per-scalar host GLV loop:
+    decomposition runs on device inside the single jit (round-2/3 verdict
+    item; reference decomposes inside the parallel msm,
+    scripts/zprize23/submission.ts:26-30). N = 2^10 with the host loop
+    booby-trapped."""
+    import montgomery_tpu.scalar.glv as glv_mod
+    from montgomery_tpu.bigint import WeierstrassCurve as WC
+    from montgomery_tpu.concrete import BLS12_377
+    from montgomery_tpu.ops import kernels
+
+    C = WC(BLS12_377)
+    N = 1 << 10
+    base = [C.scale(rng.randrange(1, 1 << 62), C.generator) for _ in range(8)]
+    pts = [C.scale(1 + (i % 97), base[i % 8]) for i in range(N)]
+    sc = [rng.randrange(BLS12_377.order) for _ in range(N)]
+
+    def boom(*a, **k):
+        raise AssertionError("per-scalar host GLV called on the serve path")
+
+    monkeypatch.setattr(glv_mod, "decompose", boom)
+    monkeypatch.setattr(glv_mod, "decompose_batch", boom)
+    with kernels.force_pallas(True, callback=True):
+        x, y = compute_msm([(P.x, P.y) for P in pts], sc, curve="bls12-377")
+    exp = oracle_msm(C, sc, pts)
+    assert (x, y) == (exp.x, exp.y)

@@ -1,15 +1,23 @@
 """Multi-chip MSM on a virtual 8-device CPU mesh: sharded result must equal
 the single-device result and the oracle (mirror of the reference's real
-16-worker pool integration test, src/msm.test.ts:22-119)."""
+16-worker pool integration test, src/msm.test.ts:22-119).
+
+Field kernels run in callback mode here (each fused formula is ONE opaque op
+evaluated eagerly): the shard_map program — sharding specs, ppermute
+butterfly, digit pipeline — is identical to production, while XLA compile
+drops from minutes (fully inlined limb arithmetic) to seconds. The inlined
+path is covered by the driver's dryrun (MSM_DRYRUN_MODE=inline) and by the
+single-chip TPU bench."""
 
 import jax
 import jax.numpy as jnp
 import pytest
 
 from montgomery_tpu.bigint import WeierstrassCurve, msm as oracle_msm
-from montgomery_tpu.concrete import PALLAS
+from montgomery_tpu.concrete import BLS12_377, PALLAS
 from montgomery_tpu.msm import WeierstrassMsm
-from montgomery_tpu.parallel import make_mesh, msm_sharded, shard_points
+from montgomery_tpu.ops import kernels
+from montgomery_tpu.parallel import make_mesh, msm_sharded, msm_full_sharded, shard_points
 
 
 def test_msm_sharded_8dev(rng):
@@ -26,34 +34,37 @@ def test_msm_sharded_8dev(rng):
     d = jnp.asarray(ctx.digits(sc, c))
     A = ctx.adapter.from_points(ctx.proj.affine_to_device(pts))
     A, d = shard_points(A, d, mesh)
-
-    fn = jax.jit(
-        lambda a, dg: msm_sharded(ctx.adapter, a, dg, c, mesh)
-    )
-    S = fn(A, d)
-    got = ctx.proj.to_host(S)[0]
     exp = oracle_msm(C, sc, pts)
-    assert C.equal(got, exp)
 
-    # 2-device mesh must agree as well (different butterfly depth)
-    mesh2 = make_mesh(2)
-    A2 = ctx.adapter.from_points(ctx.proj.affine_to_device(pts))
-    A2, d2 = shard_points(A2, jnp.asarray(ctx.digits(sc, c)), mesh2)
-    S2 = jax.jit(lambda a, dg: msm_sharded(ctx.adapter, a, dg, c, mesh2))(A2, d2)
-    got2 = ctx.proj.to_host(S2)[0]
-    assert C.equal(got2, exp)
+    with kernels.force_pallas(True, callback=True):
+        fn = jax.jit(
+            lambda a, dg: msm_sharded(ctx.adapter, a, dg, c, mesh)
+        )
+        S = fn(A, d)
+        got = ctx.proj.to_host(S)[0]
+        assert C.equal(got, exp)
+
+        # 2-device mesh must agree as well (different butterfly depth)
+        mesh2 = make_mesh(2)
+        A2 = ctx.adapter.from_points(ctx.proj.affine_to_device(pts))
+        A2, d2 = shard_points(A2, jnp.asarray(ctx.digits(sc, c)), mesh2)
+        S2 = jax.jit(lambda a, dg: msm_sharded(ctx.adapter, a, dg, c, mesh2))(A2, d2)
+        got2 = ctx.proj.to_host(S2)[0]
+        assert C.equal(got2, exp)
 
 
-def test_msm_flagship_sharded_8dev(rng):
+@pytest.mark.parametrize("unsafe", [True, False])
+def test_msm_flagship_sharded_8dev(rng, unsafe):
     """The FLAGSHIP pipeline (GLV expand + device GLV digits + packed
-    batched-affine accumulation + butterfly all-reduce) under shard_map,
-    vs the oracle."""
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    batched-affine accumulation + complete-projective butterfly all-reduce)
+    under shard_map, vs the oracle — both accumulation variants.
 
-    from montgomery_tpu.bigint import msm as _oracle
-    from montgomery_tpu.concrete import BLS12_377
-    from montgomery_tpu.parallel import msm_full_sharded
+    Structural hazards for the cross-shard combine are planted deliberately:
+    a zero scalar (empty buckets everywhere) and a point duplicated ACROSS
+    shards with equal scalars (equal per-shard bucket sums -> the butterfly
+    add must double, not divide by zero). This is the regression test for
+    the round-3 false green (unsafe affine add in the butterfly)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     C = WeierstrassCurve(BLS12_377)
     ctx = WeierstrassMsm(BLS12_377)
@@ -61,6 +72,10 @@ def test_msm_flagship_sharded_8dev(rng):
     pts = [C.scale(rng.randrange(1, 1 << 62), C.generator) for _ in range(N)]
     sc = [rng.randrange(BLS12_377.order) for _ in range(N)]
     sc[0] = 0
+    # duplicate across shards (shard size = 4): same point+scalar in shard 0
+    # and shard 2 -> equal bucket sums meet in the butterfly
+    pts[9] = pts[1]
+    sc[9] = sc[1]
     A = ctx.proj.affine_to_device(pts)
     limbs = jnp.asarray(ctx.scalars_to_limbs(sc))
     mesh = make_mesh(8)
@@ -72,8 +87,9 @@ def test_msm_flagship_sharded_8dev(rng):
 
     A = jax.tree.map(put, A)
     limbs = put(limbs)
-    S = jax.jit(
-        lambda a, sl: msm_full_sharded(ctx, a, sl, c, mesh, unsafe=True)
-    )(A, limbs)
-    got = ctx.proj.to_host(S)[0]
-    assert C.equal(got, _oracle(C, sc, pts))
+    with kernels.force_pallas(True, callback=True):
+        S = jax.jit(
+            lambda a, sl: msm_full_sharded(ctx, a, sl, c, mesh, unsafe=unsafe)
+        )(A, limbs)
+        got = ctx.proj.to_host(S)[0]
+    assert C.equal(got, oracle_msm(C, sc, pts))
