@@ -66,16 +66,24 @@ class WeierstrassMsm:
         return msm_digits(self.adapter, P, digits, c, window_chunk=window_chunk)
 
     # --- host convenience ---
-    def digits(self, scalars: list[int], c: int) -> np.ndarray:
-        return signed_digits([s % self.params.order for s in scalars], self.scalar_bits, c)
+    def digits(self, scalars: list[int], c: int,
+               scalar_bits: int | None = None) -> np.ndarray:
+        """scalar_bits: optional tighter bound on the scalars (fewer windows
+        -> shorter Horner chains; tests with small scalars use this, the
+        full-width path is exercised by the production-shape tests)."""
+        b = scalar_bits or self.scalar_bits
+        sc = [s % self.params.order for s in scalars]
+        assert all(v.bit_length() <= b for v in sc)
+        return signed_digits(sc, b, c)
 
     def msm(self, scalars, points: list[AffinePoint], c: int | None = None,
-            affine: bool = False, unsafe: bool = False) -> AffinePoint:
+            affine: bool = False, unsafe: bool = False,
+            scalar_bits: int | None = None) -> AffinePoint:
         N = len(points)
         assert len(scalars) == N and N > 0
         if c is None:
             c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
-        d = jnp.asarray(self.digits(scalars, c))
+        d = jnp.asarray(self.digits(scalars, c, scalar_bits=scalar_bits))
         A = self.proj.affine_to_device(points)
         key = (N, d.shape[0], c, affine, unsafe)
         if key not in self._jits:
@@ -208,24 +216,33 @@ class WeierstrassMsm:
             j[key] = (f_digits, f_expand, f_acc, f_red)
         f_digits, f_expand, f_acc, f_red = j[key]
         log = PhaseLog()
-        # TWO warm passes (excluded): the axon tunnel pays executable-upload
-        # cost on the first call AND a lazy-load cost on the second; timings
-        # below are steady state
-        for _ in range(2):
-            S = f_red(f_acc(f_expand(points_affine), f_digits(scalar_limbs)))
-            sync(S)
-        with log.phase("digits (GLV+slice)"):
-            digits = f_digits(scalar_limbs)
-            sync(digits)
-        with log.phase("expand (endo)"):
-            P2 = f_expand(points_affine)
-            sync(P2)
-        with log.phase("accumulate"):
-            buckets = f_acc(P2, digits)
-            sync(buckets)
-        with log.phase("reduce+horner"):
-            S = f_red(buckets)
-            sync(S)
+        # warm/compile pass (excluded)
+        S = f_red(f_acc(f_expand(points_affine), f_digits(scalar_limbs)))
+        sync(S)
+        digits = f_digits(scalar_limbs)
+        P2 = f_expand(points_affine)
+        buckets = f_acc(P2, digits)
+        sync(buckets)
+
+        # Timing protocol: switching executables on the axon tunnel costs
+        # ~450 ms (measured: any phase timed as a single fresh call reports
+        # ~450 ms + its true time, while the fused pipeline runs in ~136 ms
+        # total). So each phase is called once un-timed to absorb the
+        # program switch, then timed over 4 back-to-back async dispatches.
+        def timed(label, fn, *args):
+            out = fn(*args)
+            sync(out)
+            with log.phase(label):
+                for _ in range(4):
+                    out = fn(*args)
+                sync(out)
+            log.entries[-1] = (label, log.entries[-1][1] / 4)
+            return out
+
+        digits = timed("digits (GLV+slice)", f_digits, scalar_limbs)
+        P2 = timed("expand (endo)", f_expand, points_affine)
+        buckets = timed("accumulate", f_acc, P2, digits)
+        S = timed("reduce+horner", f_red, buckets)
         return S, log
 
     def msm_full(self, scalars, points: list[AffinePoint], c: int | None = None,
@@ -267,15 +284,19 @@ class EdwardsMsm:
     def msm_device(self, points, digits, c: int, window_chunk=None):
         return msm_digits(self.adapter, points, digits, c, window_chunk=window_chunk)
 
-    def digits(self, scalars, c: int) -> np.ndarray:
-        return signed_digits([s % self.params.order for s in scalars], self.scalar_bits, c)
+    def digits(self, scalars, c: int, scalar_bits: int | None = None) -> np.ndarray:
+        b = scalar_bits or self.scalar_bits
+        sc = [s % self.params.order for s in scalars]
+        assert all(v.bit_length() <= b for v in sc)
+        return signed_digits(sc, b, c)
 
-    def msm(self, scalars, points: list[EdwardsPoint], c: int | None = None) -> EdwardsPoint:
+    def msm(self, scalars, points: list[EdwardsPoint], c: int | None = None,
+            scalar_bits: int | None = None) -> EdwardsPoint:
         N = len(points)
         assert len(scalars) == N and N > 0
         if c is None:
             c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
-        d = jnp.asarray(self.digits(scalars, c))
+        d = jnp.asarray(self.digits(scalars, c, scalar_bits=scalar_bits))
         P = self.ed.to_device(points)
         key = (N, d.shape[0], c)
         if key not in self._jits:

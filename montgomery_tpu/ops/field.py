@@ -97,11 +97,18 @@ def _merge_shifted(a_off, a, b_off, b):
         parts.append(b)
         return a_off, jnp.concatenate(parts, axis=0)
     ov = min(la - d, lb)
-    parts = [a[:d], a[d : d + ov] + b[:ov]]
+    # skip zero-size slices: Mosaic rejects 0-length vector operands (d = 0
+    # happens when two terms share an offset, e.g. truncated convolutions)
+    parts = []
+    if d > 0:
+        parts.append(a[:d])
+    parts.append(a[d : d + ov] + b[:ov])
     if la - d > ov:
         parts.append(a[d + ov :])
     if lb > ov:
         parts.append(b[ov:])
+    if len(parts) == 1:
+        return a_off, parts[0]
     return a_off, jnp.concatenate(parts, axis=0)
 
 

@@ -226,10 +226,12 @@ _CB_JIT_CACHE: dict = {}
 
 
 def _callback_jit(formula, in_rows: tuple, n_pad: int):
-    """Compiled-once formula for callback mode: lanes are canonicalized to
-    multiples of TILE so ~one executable per formula covers every call site
-    (compiles land in the persistent cache; eager per-op evaluation of a
-    2-5k-op mul formula inside the callback was ~1000x slower)."""
+    """AOT-compiled formula for callback mode: lanes are canonicalized to
+    powers of two so ~one executable per formula covers every call site.
+    Ahead-of-time lower+compile (not plain jax.jit): callbacks execute on
+    runtime threads whose jit trace-context differs from the main thread,
+    so a jax.jit object RE-TRACES on every call there (~350 ms per callback
+    measured); a compiled executable has no tracing path at all."""
     key = (formula, in_rows, n_pad)
     fn = _CB_JIT_CACHE.get(key)
     if fn is None:
@@ -238,7 +240,10 @@ def _callback_jit(formula, in_rows: tuple, n_pad: int):
             out = _formula(*args)
             return tuple(out) if isinstance(out, (list, tuple)) else (out,)
 
-        fn = jax.jit(wrapped)
+        avals = [
+            jax.ShapeDtypeStruct((r, n_pad), jnp.int32) for r in in_rows
+        ]
+        fn = jax.jit(wrapped).lower(*avals).compile()
         _CB_JIT_CACHE[key] = fn
     return fn
 
@@ -294,6 +299,13 @@ def fused(name: str, formula, inputs: list, out_rows: list[int]):
         out = formula(*inputs)
         return list(out) if isinstance(out, (list, tuple)) else [out]
     if _MODE == "callback":
+        # callback mode only matters under tracing (it keeps the traced
+        # program small); eager calls run the formula inline directly —
+        # routing them through pure_callback + per-formula jit made eager
+        # field tests compile one executable per FieldOps instance
+        if not any(isinstance(a, jax.core.Tracer) for a in inputs):
+            out = formula(*inputs)
+            return list(out) if isinstance(out, (list, tuple)) else [out]
         return _callback_apply(formula, list(inputs), list(out_rows))
     return pallas_map(formula, name, list(inputs), list(out_rows))
 

@@ -94,10 +94,10 @@ def ks_carry(S: Array, w: int, bound: int) -> Array:
     n = S.shape[0]
     g = S >> w
     r = S & mask
-    p = r == mask
+    p = jnp.where(r == mask, 1, 0)  # int32 0/1: Mosaic cannot shift i1 vectors
     d = 1
     while d < n:
-        g = g | jnp.where(p, _shift_down(g, d), 0)
+        g = g | (p & _shift_down(g, d))
         p = p & _shift_down(p, d)
         d <<= 1
     return (r + _shift_down(g, 1)) & mask
@@ -120,13 +120,14 @@ def conv_mul_const(x: Array, y_limbs, w: int, k_lo: int = 0, k_hi: int | None = 
     from below k_lo — callers must budget for an error of up to
     min(a,b) * 2^w at limb k_lo (the reference's findMsbCutoff analysis,
     wasm/barrett.ts:219-254)."""
+    from ..ops.field import _conv_tree
+
     a = x.shape[0]
     b = len(y_limbs)
     if k_hi is None:
         k_hi = a + b
     out_len = k_hi - k_lo
-    T = jnp.zeros((out_len, *x.shape[1:]), dtype=jnp.int32)
-    nterms = 0
+    terms = []
     for j, yj in enumerate(y_limbs):
         yj = int(yj)
         if yj == 0:
@@ -136,21 +137,26 @@ def conv_mul_const(x: Array, y_limbs, w: int, k_lo: int = 0, k_hi: int | None = 
         i1 = min(a, k_hi - j)
         if i0 >= i1:
             continue
-        o0 = i0 + j - k_lo
-        T = T.at[o0 : o0 + (i1 - i0)].add(x[i0:i1] * yj)
-        nterms += 1
-    bound = max(1, nterms) << (2 * w)
+        terms.append((i0 + j - k_lo, x[i0:i1] * yj))
+    if not terms:
+        return jnp.zeros((out_len, *x.shape[1:]), dtype=jnp.int32)
+    # balanced merge tree of shifted terms (no dynamic-update-slice: the
+    # formula must stay Mosaic-fusable and XLA compiles DUS chains slowly)
+    T = _conv_tree(terms, out_len)
+    bound = len(terms) << (2 * w)
     assert bound < (1 << 31), "limb size too large for int32 accumulation"
     return ks_carry(T, w, bound)
 
 
 def twos_complement_abs(S: Array, w: int) -> tuple[Array, Array]:
     """Canonical two's-complement limbs (n, N) in [0,2^w) -> (|value|, neg
-    mask). The value must fit in n*w - 1 bits (sign = top bit of top limb)."""
+    mask). The value must fit in n*w - 1 bits (sign = top bit of top limb).
+    No dynamic-update-slice (the formula must be Mosaic-fusable)."""
     n = S.shape[0]
     neg = (S[n - 1] >> (w - 1)) > 0
     mask = (1 << w) - 1
-    comp = (mask - S).at[0].add(1)
+    comp = mask - S
+    comp = jnp.concatenate([comp[:1] + 1, comp[1:]], axis=0)
     comp = carry_signed(comp, w, n)
     return jnp.where(neg[None], comp, S), neg
 
@@ -197,7 +203,7 @@ def signed_digits_device(limbs: Array, w: int, b_bits: int, c: int,
 
     def step(carry, dk):
         dk = dk + carry
-        over = (dk > half).astype(jnp.int32)
+        over = jnp.where(dk > half, 1, 0)
         return over, dk - over * full
 
     carry, d = jax.lax.scan(step, jnp.zeros_like(d[0]), d)
@@ -283,9 +289,17 @@ def decompose_device(gd: GlvDevice, s_limbs: Array) -> tuple[Array, Array, Array
 
     def residual(coefs, include_s):
         # value = (include_s ? s : 0) + coef[0]*u1 + coef[1]*u2, mod 2^(nw*w)
-        acc = jnp.zeros((nw, *s_limbs.shape[1:]), dtype=jnp.int32)
+        # (no dynamic-update-slice: keeps the formula Mosaic-fusable)
         if include_s:
-            acc = acc.at[: min(nw, gd.ns)].add(s_limbs[: min(nw, gd.ns)])
+            m = min(nw, gd.ns)
+            acc = s_limbs[:m]
+            if nw > m:
+                acc = jnp.concatenate(
+                    [acc, jnp.zeros((nw - m, *s_limbs.shape[1:]), jnp.int32)],
+                    axis=0,
+                )
+        else:
+            acc = jnp.zeros((nw, *s_limbs.shape[1:]), dtype=jnp.int32)
         for coef, u in ((coefs[0], u1), (coefs[1], u2)):
             if coef == 0:
                 continue
@@ -300,10 +314,63 @@ def decompose_device(gd: GlvDevice, s_limbs: Array) -> tuple[Array, Array, Array
     return a0, n0, a1, n1
 
 
+def _signed_windows_inline(limbs: Array, w: int, b_bits: int, c: int,
+                           sgn: Array) -> Array:
+    """extract_windows + signed-digit carry, python-unrolled (K static) so
+    the whole thing inlines into a fused kernel (lax.scan is not
+    Mosaic-fusable)."""
+    d = extract_windows(limbs, w, b_bits, c)
+    half, full = 1 << (c - 1), 1 << c
+    carry = jnp.zeros_like(d[0])
+    rows = []
+    for k in range(d.shape[0]):
+        dk = d[k] + carry
+        over = jnp.where(dk > half, 1, 0)  # no bool->i32 astype in Mosaic
+        rows.append((dk - over * full) * sgn)
+        carry = over
+    return jnp.stack(rows, axis=0)
+
+
 def digits_glv_device(gd: GlvDevice, s_limbs: Array, c: int) -> Array:
     """(ns, N) scalar limbs -> (K, 2N) signed digits for the GLV-expanded
     point list [P..., phi(P)...] (column i: digits of s0_i; column N+i:
-    digits of s1_i). Fully on device."""
+    digits of s1_i). Fully on device; on the TPU path the ENTIRE pipeline
+    (msb-mul lattice coefficients, residuals, two's-complement abs, window
+    slicing, signed-digit carry) runs as ONE fused kernel emitting both
+    halves' digit planes (the analog of the reference's scalar Wasm module
+    being a single instantiated unit, scalar-glv.ts:19-51)."""
+    import os
+
+    from ..ops import kernels
+
+    K = ceil_div(gd.max_bits_eff + 1, c)
+
+    # The whole-pipeline fused kernel is OFF by default on the compiled
+    # Pallas path: Mosaic compile of the conv-tree-heavy decompose measured
+    # >10 min on TPU (vs ~10 ms of runtime saved). Callback/interpret test
+    # modes still take the fused branch (it exercises the same formula);
+    # set MSM_FUSED_DIGITS=1 to force it on TPU.
+    fuse = kernels.use_pallas() and (
+        kernels._MODE != "compiled"
+        or os.environ.get("MSM_FUSED_DIGITS", "0") == "1"
+    )
+    if fuse:
+        cache = gd.__dict__.setdefault("_digit_formulas", {})
+        fn = cache.get(c)
+        if fn is None:
+
+            def fn(sl, _gd=gd, _c=c):
+                a0, n0, a1, n1 = decompose_device(_gd, sl)
+                s0 = jnp.where(n0, -1, 1).astype(jnp.int32)
+                s1 = jnp.where(n1, -1, 1).astype(jnp.int32)
+                d0 = _signed_windows_inline(a0, _gd.w, _gd.max_bits_eff, _c, s0)
+                d1 = _signed_windows_inline(a1, _gd.w, _gd.max_bits_eff, _c, s1)
+                return [d0, d1]
+
+            cache[c] = fn
+        d0, d1 = kernels.fused(f"glv_digits_{c}", fn, [s_limbs], [K, K])
+        return jnp.concatenate([d0, d1], axis=-1)
+
     a0, n0, a1, n1 = decompose_device(gd, s_limbs)
     mags = jnp.concatenate([a0, a1], axis=-1)
     sign = jnp.concatenate([n0, n1], axis=-1)
