@@ -228,40 +228,31 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
             loc_s, perm2d = jax.lax.sort((loc, payload), dimension=1, num_keys=1)
         perm_flat = perm2d.reshape(-1)
 
-        # counts/starts per bucket slot WITHOUT a full-width scatter (an XLA
-        # bincount over KC*N elements measured 10.9 ms at 2^16; sorts are
-        # ~2 ms): run-length encode the SORTED locs. A second per-window
-        # packed sort compacts the <= L+1 run boundaries to the front; a
-        # tiny scatter-min + reverse cummin turns them into dense
-        # first-position-with-loc>=b tables R, with counts[b] = R[b+1]-R[b]
-        # (empty slots collapse to zero-length runs).
-        lb2 = (L + 2).bit_length()
-        if lb2 + nb <= 31:
-            prev = jnp.concatenate(
-                [jnp.full((KC, 1), -1, jnp.int32), loc_s[:, :-1]], axis=1
-            )
-            isb = loc_s != prev
-            big = ((L + 2) << nb) | ((1 << nb) - 1)
-            bkey = jnp.where(isb, (loc_s << nb) | idx, big)
-            (bkey_s,) = jax.lax.sort((bkey,), dimension=1, num_keys=1)
-            bnd = bkey_s[:, : min(L + 1, N)]
-            loc_b = jnp.clip(bnd >> nb, 0, L + 2)
-            pos_b = bnd & ((1 << nb) - 1)
-            win_b = jax.lax.broadcasted_iota(jnp.int32, loc_b.shape, 0)
-            S = jnp.full((KC, L + 3), N, jnp.int32)
-            S = S.at[win_b, loc_b].min(pos_b)
-            S = S.at[:, L + 2].set(N)  # sentinel col absorbs non-boundaries
-            R = jax.lax.cummin(S[:, ::-1], axis=1)[:, ::-1]
-            starts_w = R[:, : L + 1]
-            counts_w = R[:, 1 : L + 2] - starts_w
-            woff = jnp.arange(KC, dtype=jnp.int32)[:, None] * N
-            starts = (starts_w + woff).reshape(-1)
-            counts = counts_w.reshape(-1)
-        else:
-            win = jax.lax.broadcasted_iota(jnp.int32, (KC, N), 0)
-            g = win * (L + 1) + loc
-            counts = jnp.bincount(g.reshape(-1), length=Gd).astype(jnp.int32)
-            starts = _excl_cumsum(counts)
+        # counts/starts per bucket slot from the SORTED locs via a
+        # vectorized binary search: R[b] = first position with loc >= b,
+        # counts[b] = R[b+1] - R[b]. Measured on TPU v5e at (12, 2^17):
+        # binary search ~5.4 ms vs 16.2 ms for the previous RLE second sort
+        # and 22.5 ms for a flat bincount; no key-packing width constraint,
+        # so 2^20 takes the same path. Hand-rolled log2(N) gather steps —
+        # jnp.searchsorted under vmap inside the window scan hung XLA
+        # lowering for >20 min.
+        probes = jnp.arange(L + 2, dtype=jnp.int32)[None, :]  # (1, L+2)
+        lo_b = jnp.zeros((KC, L + 2), jnp.int32)
+        hi_b = jnp.full((KC, L + 2), N, jnp.int32)
+        # search space is [0, N] = N+1 candidate positions -> N.bit_length()
+        # halving steps
+        for _ in range(max(N.bit_length(), 1)):
+            mid = (lo_b + hi_b) >> 1
+            val = jnp.take_along_axis(loc_s, mid, axis=1)
+            ge = val >= probes
+            hi_b = jnp.where(ge, mid, hi_b)
+            lo_b = jnp.where(ge, lo_b, mid + 1)
+        R = hi_b
+        starts_w = R[:, : L + 1]
+        counts_w = R[:, 1 : L + 2] - starts_w
+        woff = jnp.arange(KC, dtype=jnp.int32)[:, None] * N
+        starts = (starts_w + woff).reshape(-1)
+        counts = counts_w.reshape(-1)
         # dead slots (zero digits, loc == L) are excluded from pairing
         slot_loc = jnp.arange(Gd, dtype=jnp.int32) % (L + 1)
         counts = jnp.where(slot_loc == L, 0, counts)

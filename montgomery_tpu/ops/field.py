@@ -721,8 +721,39 @@ class FieldOps:
         (wasm/inverse.ts:136-179); on TPU it is ONE fused ladder kernel."""
         return self.exp_ladder(x, self.p - 2)
 
+    def inv_root(self, x: Array) -> Array:
+        """Montgomery-domain inverse used at the batch-inversion tree root.
+
+        On the compiled TPU path this is the constant-iteration safegcd
+        divstep (ops/divstep.py) fused with the Montgomery-domain
+        conversions into ONE kernel: the Fermat ladder's ~760 sequential
+        multiplies are depth-bound (~1.8 ms at any lane count), while the
+        divstep's 69 matrix batches are ~5x shallower. Other paths keep the
+        ladder (exact same results; both are oracle-tested)."""
+        from . import kernels
+
+        if not (kernels.use_pallas() and kernels._MODE == "compiled"):
+            return self.inv(x)
+        cache = self.__dict__.setdefault("_divstep_cache", {})
+        fn = cache.get("fn")
+        if fn is None:
+            from .divstep import _inv_formula, divstep_params
+
+            dp = divstep_params(self)
+
+            def fn(xm, _dp=dp, _f=self):
+                plain = _f.reduce(_f._mul_const_impl(xm, (1,)))  # from mont
+                v = _inv_formula(_dp, plain)[0]
+                r2 = tuple(
+                    int(t) for t in np.asarray(_f.r2_limbs).reshape(-1)
+                )
+                return [_f._mul_const_impl(v, r2)]  # to mont
+
+            cache["fn"] = fn
+        return kernels.fused("divstep_inv_mont", fn, [x], [self.n])[0]
+
     # tree fold stops at this width: one Pallas tile inverts 512 elements
-    # with a single fused Fermat ladder (cost amortized to ~1.5 muls/elem)
+    # with a single fused root inversion (cost amortized to ~1.5 muls/elem)
     _BATCH_INV_STOP = 512
 
     def batch_inv(self, x: Array, handle_zero: bool = False) -> Array:
@@ -754,7 +785,7 @@ class FieldOps:
             if m & 1:
                 prod = jnp.concatenate([prod, v[:, 2 * h :]], axis=-1)
             levels.append(prod)
-        inv_cur = self.inv(levels[-1])
+        inv_cur = self.inv_root(levels[-1])
         for v in reversed(levels[:-1]):
             m = v.shape[-1]
             h = m // 2
@@ -794,7 +825,11 @@ class FieldOps:
             return kernels.fused(f"sqr_n_{m}", fn, [x], [self.n])[0]
         return fn(x)[0]
 
-    _SQRT_WINDOW = 4  # dlog window bits (2^4-entry implicit tables)
+    # dlog window bits: W=4 balances kernel count (ceil(M/4) dispatches)
+    # against per-kernel jaxpr size — W=8 halves the kernels but the
+    # unrolled W(W-1)/2 mini-dlog squarings quadruple the per-formula trace
+    # and its compile time (measured slower overall)
+    _SQRT_WINDOW = 4
 
     def _sqrt_window_formula(self, k: int, lk: int, chain: int, M: int,
                              last: bool):

@@ -264,8 +264,16 @@ def _callback_apply(formula, inputs: list, out_rows: list[int]):
     while n_pad < N:
         n_pad <<= 1
     in_rows = tuple(a.shape[0] for a in inputs)
+    # AOT-compile NOW (trace time, main thread): compiling inside the
+    # callback thread while the outer program executes deadlocks the CPU
+    # client (observed hang in windowed-sqrt kernels)
+    _TLS.in_kernel = True
+    try:
+        fn = _callback_jit(formula, in_rows, n_pad)
+    finally:
+        _TLS.in_kernel = False
 
-    def host_fn(*args, _formula=formula, _N=N, _n_pad=n_pad,
+    def host_fn(*args, _fn=fn, _N=N, _n_pad=n_pad,
                 _in_rows=in_rows, _out_rows=tuple(out_rows), _batch=batch):
         _TLS.in_kernel = True  # nested fused() calls must run inline
         try:
@@ -274,8 +282,7 @@ def _callback_apply(formula, inputs: list, out_rows: list[int]):
                 flat = [
                     np.pad(a, ((0, 0), (0, _n_pad - _N))) for a in flat
                 ]
-            fn = _callback_jit(_formula, _in_rows, _n_pad)
-            out = fn(*[jnp.asarray(a) for a in flat])
+            out = _fn(*[jnp.asarray(a) for a in flat])
             return tuple(
                 np.asarray(o)[:, :_N].reshape(r, *_batch)
                 for o, r in zip(out, _out_rows)

@@ -23,7 +23,15 @@ def print_max_size_used(device=None, log=print) -> str:
     """One-line watermark report: peak/limit bytes and percentage."""
     st = device_memory_stats(device)
     if not st:
-        msg = "memory stats unavailable on this backend"
+        # backends without memory_stats (e.g. the axon tunnel): report the
+        # LIVE device-array footprint as a lower bound on the watermark
+        live = sum(
+            a.nbytes for a in jax.live_arrays() if hasattr(a, "nbytes")
+        )
+        msg = (
+            f"device memory: peak stats unavailable on this backend; "
+            f"live arrays {live / 2**20:.0f} MB (lower bound)"
+        )
         log(msg)
         return msg
     peak = st.get("peak_bytes_in_use", 0)

@@ -17,8 +17,30 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the kernels are compile-heavy (long unrolled
-# carry chains); caching makes repeated test runs fast.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# carry chains); caching makes repeated test runs fast. The CPU cache is
+# keyed by a machine fingerprint: XLA:CPU AOT entries embed the compile
+# machine's feature set, and deserializing an entry from a machine with
+# different features ABORTS the process (observed: SIGABRT inside
+# compilation_cache.get_executable_and_time at test_sqrt[bls12377]).
+import hashlib  # noqa: E402
+
+
+def _machine_fp() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(__file__), "..", f".jax_cache_cpu_{_machine_fp()}"
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
