@@ -105,10 +105,12 @@ def main():
     sync(out)
     log("msm compile+first run %.1fs" % (time.time() - t0))
 
-    # Each device->host fetch costs a full tunnel round trip (~27 ms); time
-    # `inner` back-to-back async dispatches per rep and sync once so the
-    # fetch latency is amortized out of the per-run number.
-    inner = 4 if log2n <= 18 else 1
+    # Steady-state throughput: `inner` back-to-back async dispatches per rep,
+    # one sync (the sync fetch costs a full ~27 ms tunnel round trip — a
+    # harness artifact, not device work; residual bias ~27/inner ms is still
+    # INCLUDED in the reported time). One-shot latency (single dispatch +
+    # sync) is reported alongside for transparency.
+    inner = 16 if log2n <= 17 else (4 if log2n <= 18 else 1)
     for _ in range(3):
         sync(fn(P, limbs))
     times = []
@@ -121,7 +123,15 @@ def main():
         times.append((time.time() - t0) / inner)
     med = float(np.median(times))
     std = float(np.std(times))
-    log("msm: median %.4fs  std %.4fs  (%s)" % (med, std, ["%.4f" % t for t in times]))
+    lat = []
+    for _ in range(5):
+        t0 = time.time()
+        sync(fn(P, limbs))
+        lat.append(time.time() - t0)
+    log("msm: median %.4fs  std %.4fs  (inner=%d; %s)" % (
+        med, std, inner, ["%.4f" % t for t in times]))
+    log("msm one-shot latency (incl. %.0fms-RTT sync): median %.4fs" % (
+        27.0, float(np.median(lat))))
 
     # ---- phase split + memory watermark (reference deferred logs,
     #      msm-common.ts:176-214; watermark memory-helpers.ts:266-276) ----
