@@ -831,39 +831,33 @@ class FieldOps:
     # and its compile time (measured slower overall)
     _SQRT_WINDOW = 4
 
-    def _sqrt_window_formula(self, k: int, lk: int, chain: int, M: int,
-                             last: bool):
-        """Cached fused formula for sqrt dlog window k: push t into the
-        order-2^lk subgroup (chain squarings, fori), extract lk exponent
-        bits with a mini bitwise dlog (lk(lk-1)/2 squarings + lk compares),
-        and apply the per-bit corrections to t and to the root accumulator r
-        with masked constant muls. The windowed structure is the TPU analog
-        of the reference's table-based sqrt (field-sqrt.ts:113-265): lookup
-        tables become masked multiplies by hoisted constants, and the
-        O(M^2/2) squaring chain of the bitwise method drops to ~M^2/(2*W).
+    def _sqrt_window_formula(self, k: int, lk: int, M: int, last: bool):
+        """Cached fused formula for sqrt dlog window k: given s = t^(2^chain)
+        (computed by a separate sqr_n kernel — embedding the chain fori here
+        produced executables big enough to crash XLA:CPU late in long test
+        processes), extract lk exponent bits with a mini bitwise dlog
+        (lk(lk-1)/2 squarings + lk compares) and apply the per-bit
+        corrections to t and the root accumulator r with masked constant
+        muls. The windowed structure is the TPU analog of the reference's
+        table-based sqrt (field-sqrt.ts:113-265): lookup tables become
+        masked multiplies by hoisted constants, and the O(M^2/2) squaring
+        chain of the bitwise method drops to ~M^2/(2*W).
         Outputs [t', r', bits-plane] (bits-plane = window digit, int32)."""
         cache = self.__dict__.setdefault("_sqrt_win_cache", {})
-        key = (k, lk, chain, M, last)
+        key = (k, lk, M, last)
         fn = cache.get(key)
         if fn is not None:
             return fn
         g_pows = np.asarray(self.sqrt_g_inv_pows)  # (M, n, 1) host consts
         W = self._SQRT_WINDOW
 
-        def fn(t, r, _k=k, _lk=lk, _chain=chain, _last=last):
+        def fn(t, r, s, _k=k, _lk=lk, _last=last):
             one = jnp.broadcast_to(
                 jnp.asarray(self.one_mont).reshape(
                     (self.n,) + (1,) * (t.ndim - 1)
                 ),
                 t.shape,
             )
-            # s = t^(2^chain): order divides 2^lk
-            if _chain > 0:
-                s = jax.lax.fori_loop(
-                    0, _chain, lambda _, a: self._sqr_impl(a), t
-                )
-            else:
-                s = t
             digit = jnp.zeros((1, *t.shape[1:]), jnp.int32)
             v = s
             for i in range(_lk):
@@ -930,14 +924,15 @@ class FieldOps:
             lk = min(W, M - done)
             chain = M - done - lk
             last = done + lk >= M
-            fn = self._sqrt_window_formula(k, lk, chain, M, last)
+            s = self.sqr_n(t, chain) if chain > 0 else t
+            fn = self._sqrt_window_formula(k, lk, M, last)
             if kernels.use_pallas():
                 t, r, digit = kernels.fused(
-                    f"sqrt_win_{M}_{k}_{lk}_{chain}", fn, [t, r],
+                    f"sqrt_win_{M}_{k}_{lk}", fn, [t, r, s],
                     [self.n, self.n, 1],
                 )
             else:
-                t, r, digit = fn(t, r)
+                t, r, digit = fn(t, r, s)
             if k == 0:
                 parity = (digit[0] & 1) != 0
             done += lk
