@@ -133,6 +133,42 @@ def main():
     log("msm one-shot latency (incl. %.0fms-RTT sync): median %.4fs" % (
         27.0, float(np.median(lat))))
 
+    # ---- FULL-size validation (round-4 verdict item #3): the timed result
+    # must prove itself at full N, not just the N=16 slice. The expected
+    # affine answer is cached on disk (inputs are deterministic: cached
+    # points + seed-7 scalars); on first run it is cross-checked by the
+    # OTHER engine (projective-safe vs packed-affine — independent past the
+    # digit pipeline). Reference checks results against bigint MSM after
+    # timing (scripts/msm-weierstrass.ts:97-107).
+    if os.environ.get("MSM_VALIDATE", "1") == "1":
+        got = ctx.proj.to_host(out)[0]
+        expfile = f".bench_cache/expected_{log2n}.json"
+        if os.path.exists(expfile):
+            with open(expfile) as fh:
+                e = json.load(fh)
+            exp_pt = (int(e["x"], 16), int(e["y"], 16))
+            ok = (not got.is_zero) and (got.x, got.y) == exp_pt
+            if not ok:
+                log("FULL-N VALIDATION FAILED vs cached expected result")
+                sys.exit(1)
+            log(f"full-N validation passed (cached expected, N=2^{log2n})")
+        else:
+            t0 = time.time()
+            fn2 = jax.jit(
+                lambda p, sl: ctx.msm_device_full(p, sl, c, affine=not affine,
+                                                  unsafe=False)
+            )
+            got2 = ctx.proj.to_host(fn2(P, limbs))[0]
+            if not C.equal(got, got2):
+                log("FULL-N VALIDATION FAILED: engines disagree "
+                    f"(affine-{'unsafe' if unsafe else 'safe'} vs "
+                    "projective-safe)")
+                sys.exit(1)
+            with open(expfile, "w") as fh:
+                json.dump({"x": "%x" % got.x, "y": "%x" % got.y}, fh)
+            log("full-N validation passed (cross-engine, %.0fs) and cached"
+                % (time.time() - t0))
+
     # ---- phase split + memory watermark (reference deferred logs,
     #      msm-common.ts:176-214; watermark memory-helpers.ts:266-276) ----
     from montgomery_tpu.utils.memory import print_max_size_used

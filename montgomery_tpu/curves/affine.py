@@ -18,13 +18,16 @@ import numpy as np
 from ..bigint.weierstrass import CurveParams
 from ..ops import limbs as codec
 from ..ops.field import Array, FieldOps
+from ..utils.memo import MemoizedOps, ready
 from .projective import AffineBatch
 
 
-class AffineOps:
+class AffineOps(MemoizedOps):
     """Batched affine group ops for y^2 = x^3 + a x + b."""
 
     def __init__(self, fops: FieldOps, params: CurveParams):
+        if ready(self):
+            return
         self.f = fops
         self.params = params
         p = fops.p

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..bigint.twisted_edwards import EdwardsParams, EdwardsPoint
 from ..ops import limbs as codec
 from ..ops.field import Array, FieldOps
+from ..utils.memo import MemoizedOps, ready
 
 
 class EdwardsBatch(NamedTuple):
@@ -31,10 +32,12 @@ class EdwardsBatch(NamedTuple):
         return self.X.shape[-1]
 
 
-class EdwardsOps:
+class EdwardsOps(MemoizedOps):
     """a = -1 twisted Edwards arithmetic (reference curve-twisted-edwards.ts)."""
 
     def __init__(self, fops: FieldOps, params: EdwardsParams):
+        if ready(self):
+            return
         self.f = fops
         self.params = params
         p = fops.p
@@ -162,6 +165,11 @@ class EdwardsOps:
         one = f.bc_full(f.one_mont, x_mont)
         # T = X*Y / Z = x*y (Z=1); in mont form T = mont_mul(x, y)
         return EdwardsBatch(x_mont, y_mont, one, f.mul(x_mont, y_mont))
+
+    def jitted_from_affine(self, x_mont: Array, y_mont: Array) -> EdwardsBatch:
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        fn = cache.setdefault("from_affine", jax.jit(self.from_affine_arrays))
+        return fn(x_mont, y_mont)
 
     def to_device(self, points: list[EdwardsPoint]) -> EdwardsBatch:
         f = self.f

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..bigint.weierstrass import AffinePoint, CurveParams
 from ..ops import limbs as codec
 from ..ops.field import Array, FieldOps
+from ..utils.memo import MemoizedOps, ready
 
 
 class ProjectiveBatch(NamedTuple):
@@ -47,10 +48,12 @@ class AffineBatch(NamedTuple):
         return self.x.shape[-1]
 
 
-class ProjectiveOps:
+class ProjectiveOps(MemoizedOps):
     """Projective Weierstrass arithmetic (reference curve-projective.ts)."""
 
     def __init__(self, fops: FieldOps, params: CurveParams):
+        if ready(self):
+            return
         self.f = fops
         self.params = params
         p = fops.p

@@ -67,6 +67,19 @@ def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
     return combine(tab, jnp.asarray(idx))
 
 
+def _uniform_field_vals(rng: np.random.Generator, M: int, p: int) -> list[int]:
+    """M (statistically) uniform field elements: full random bytes with 64
+    bits of slack, reduced mod p (bias < 2^-64; matches the reference's
+    uniform sampling contract, curve-random.ts:151-194 — the earlier 62-bit
+    word packing left bits 62-63 of every word structurally zero)."""
+    nbytes = (p.bit_length() + 7) // 8 + 8
+    raw = rng.bytes(M * nbytes)
+    return [
+        int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "little") % p
+        for i in range(M)
+    ]
+
+
 def random_points_edwards(
     ed: EdwardsOps, N: int, seed: int = 0, oversample: float = 2.5
 ) -> EdwardsBatch:
@@ -78,10 +91,7 @@ def random_points_edwards(
     f = ed.f
     M = int(N * oversample) + 16
     rng = np.random.default_rng(seed)
-    xs = rng.integers(0, 1 << 62, size=(M, (f.p.bit_length() // 62) + 1), dtype=np.int64)
-    vals = [int.from_bytes(b"".join(int(v).to_bytes(8, "little") for v in row), "little") % f.p
-            for row in xs]
-    X = jnp.asarray(codec.pack(vals, f.mp))
+    X = jnp.asarray(codec.pack(_uniform_field_vals(rng, M, f.p), f.mp))
 
     @jax.jit
     def solve(X):
@@ -125,12 +135,7 @@ def random_points_weierstrass(
     params = proj.params
     M = int(N * oversample) + 16
     rng = np.random.default_rng(seed)
-    # random field elements via rejection-free biased sampling (uniform over
-    # [0, 2^length) then mod p — negligible bias for bench/test purposes)
-    xs = rng.integers(0, 1 << 62, size=(M, (f.p.bit_length() // 62) + 1), dtype=np.int64)
-    vals = [int.from_bytes(b"".join(int(v).to_bytes(8, "little") for v in row), "little") % f.p
-            for row in xs]
-    X = jnp.asarray(codec.pack(vals, f.mp))
+    X = jnp.asarray(codec.pack(_uniform_field_vals(rng, M, f.p), f.mp))
 
     @jax.jit
     def solve(X):

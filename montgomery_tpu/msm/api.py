@@ -22,11 +22,31 @@ from .adapters import AffineAccumAdapter, EdwardsAdapter, ProjectiveAdapter
 from .pippenger import msm_digits, msm_digits_affine, window_size
 
 
-class WeierstrassMsm:
+# One context per (class, params, w) — the analog of the reference's
+# per-curve singletons (concrete/bls12-377.ts:6-7). Contexts are stateless
+# apart from compiled-executable caches, and sharing them means every test
+# file / caller on the same curve reuses ONE set of compiled kernels.
+_CTX_CACHE: dict = {}
+
+
+class _MemoizedCtx:
+    def __new__(cls, params, w: int = 13):
+        key = (cls, params, w)
+        inst = _CTX_CACHE.get(key)
+        if inst is None:
+            inst = super().__new__(cls)
+            _CTX_CACHE[key] = inst
+        return inst
+
+
+class WeierstrassMsm(_MemoizedCtx):
     """MSM context for a short-Weierstrass curve (reference createWeierstraß,
     parallel.ts:40-177)."""
 
     def __init__(self, params: CurveParams, w: int = 13):
+        if getattr(self, "_ctx_ready", False):
+            return
+        self._ctx_ready = True
         # w=13 (n=30 for 377-bit) measured 11% faster Montgomery muls than
         # w=12 (n=32) on TPU v5e (.logs/experiments_r4.log) — the limb-size
         # sweep the reference prescribes (doc/zprize22.md:184-185)
@@ -154,6 +174,27 @@ class WeierstrassMsm:
             [s % self.params.order for s in scalars], bq, w, ns
         )
 
+    def points_from_bytes(self, data) -> "AffineBatch":
+        """Packed little-endian bytes (x || y per point, n_packed_bytes each
+        coordinate) -> Montgomery-form device AffineBatch with NO per-point
+        Python (reference parallel.ts pointsFromBytes :97-133: thread-sharded
+        wasm fromPackedBytes + toMontgomery; here vectorized numpy limb
+        extraction + ONE device to-Montgomery kernel over both coordinates).
+        (0, 0) encodes the point at infinity."""
+        from ..curves.projective import AffineBatch
+        from ..ops import limbs as codec
+
+        f = self.fops
+        nb = f.mp.n_packed_bytes
+        B = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 2 * nb)
+        N = B.shape[0]
+        xl = codec.bytes_to_limbs(B[:, :nb].tobytes(), nb, f.w, f.n)
+        yl = codec.bytes_to_limbs(B[:, nb:].tobytes(), nb, f.w, f.n)
+        inf = ~(np.any(xl != 0, axis=0) | np.any(yl != 0, axis=0))
+        both = jnp.concatenate([jnp.asarray(xl), jnp.asarray(yl)], axis=-1)
+        both = f.jitted("to_montgomery")(both)
+        return AffineBatch(both[:, :N], both[:, N:], jnp.asarray(inf))
+
     def msm_device_full(self, points_affine, scalar_limbs, c: int,
                         affine: bool = False, window_chunk=None,
                         unsafe: bool = False):
@@ -173,6 +214,7 @@ class WeierstrassMsm:
             return msm_digits_affine(
                 self.aff_adapter_unsafe if unsafe else self.aff_adapter,
                 self.adapter, rows, digits, c, window_chunk=window_chunk,
+                prepacked=True,
             )
         return self.msm_device(self.expand_points_glv(points_affine), digits, c,
                                affine=affine, window_chunk=window_chunk,
@@ -202,7 +244,8 @@ class WeierstrassMsm:
             if affine:
                 f_expand = jax.jit(self.affine.pack_rows_glv)
                 f_acc = jax.jit(
-                    lambda p, d: bucket_accumulate(group, p, d, c)[0])
+                    lambda p, d: bucket_accumulate(group, p, d, c,
+                                                   prepacked=True)[0])
                 f_red = jax.jit(
                     lambda b: reduce_buckets(
                         self.adapter, group.to_projective(b), c, K_pad, L))
@@ -254,11 +297,19 @@ class WeierstrassMsm:
         batched-affine engine with the SAFE complete add (correct even for
         duplicate/adversarial inputs); unsafe=True gives the reference's
         msmUnsafe contract."""
-        N = len(points)
+        from ..curves.projective import AffineBatch
+
+        if isinstance(points, AffineBatch):
+            A, N = points, int(points.inf.shape[-1])
+        else:
+            N = len(points)
+            A = self.proj.affine_to_device(points)
         if c is None:
             c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
-        limbs = jnp.asarray(self.scalars_to_limbs(scalars))
-        A = self.proj.affine_to_device(points)
+        if isinstance(scalars, jax.Array):
+            limbs = scalars  # prepacked (ns, N) limb planes
+        else:
+            limbs = jnp.asarray(self.scalars_to_limbs(scalars))
         key = ("full", N, c, affine, unsafe)
         if key not in self._jits:
             self._jits[key] = jax.jit(
@@ -269,11 +320,14 @@ class WeierstrassMsm:
         return self.proj.to_host(S)[0]
 
 
-class EdwardsMsm:
+class EdwardsMsm(_MemoizedCtx):
     """MSM context for a twisted-Edwards curve (reference createTwistedEdwards,
     parallel.ts:179-289)."""
 
     def __init__(self, params: EdwardsParams, w: int = 13):
+        if getattr(self, "_ctx_ready", False):
+            return
+        self._ctx_ready = True
         self.params = params
         self.fops = create_field_ops(params.modulus, w=w)
         self.ed = EdwardsOps(self.fops, params)
@@ -327,12 +381,36 @@ class EdwardsMsm:
         digits = signed_digits_device(scalar_limbs, self.fops.w, self.scalar_bits, c)
         return self.msm_device(points, digits, c)
 
-    def msm_full(self, scalars, points: list[EdwardsPoint], c: int | None = None) -> EdwardsPoint:
-        N = len(points)
+    def points_from_bytes(self, data):
+        """Packed little-endian affine bytes (x || y per point) -> extended-
+        coordinate device batch, no per-point Python (reference parallel.ts
+        pointsFromBytes analog for the TE path)."""
+        from ..ops import limbs as codec
+
+        f = self.fops
+        nb = f.mp.n_packed_bytes
+        B = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 2 * nb)
+        N = B.shape[0]
+        xl = codec.bytes_to_limbs(B[:, :nb].tobytes(), nb, f.w, f.n)
+        yl = codec.bytes_to_limbs(B[:, nb:].tobytes(), nb, f.w, f.n)
+        both = jnp.concatenate([jnp.asarray(xl), jnp.asarray(yl)], axis=-1)
+        both = f.jitted("to_montgomery")(both)
+        return self.ed.jitted_from_affine(both[:, :N], both[:, N:])
+
+    def msm_full(self, scalars, points, c: int | None = None) -> EdwardsPoint:
+        from ..curves.edwards import EdwardsBatch
+
+        if isinstance(points, EdwardsBatch):
+            P, N = points, int(points.X.shape[-1])
+        else:
+            N = len(points)
+            P = self.ed.to_device(points)
         if c is None:
             c = window_size(self.fops.mp.length_p, max(1, N.bit_length() - 1))
-        limbs = jnp.asarray(self.scalars_to_limbs(scalars))
-        P = self.ed.to_device(points)
+        if isinstance(scalars, jax.Array):
+            limbs = scalars
+        else:
+            limbs = jnp.asarray(self.scalars_to_limbs(scalars))
         key = ("full", N, c)
         if key not in self._jits:
             self._jits[key] = jax.jit(lambda pts, sl: self.msm_device_full(pts, sl, c))

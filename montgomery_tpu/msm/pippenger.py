@@ -96,16 +96,19 @@ def msm_digits(group, points, digits: jax.Array, c: int, window_chunk: int | Non
 
 
 def msm_digits_affine(aff_group, proj_group, points, digits: jax.Array, c: int,
-                      window_chunk: int | None = None):
+                      window_chunk: int | None = None, prepacked: bool = False):
     """MSM with batched-affine accumulation (the reference's flagship path):
     pair-halving rounds use affine adds + shared batch inversion
     (AffineAccumAdapter), the bucket reduction runs in complete projective
-    coordinates. points: AffineBatch."""
-    buckets, K_pad, L = bucket_accumulate(aff_group, points, digits, c, window_chunk)
+    coordinates. points: AffineBatch, or a prepacked (rows, 2N) array with
+    prepacked=True."""
+    buckets, K_pad, L = bucket_accumulate(aff_group, points, digits, c, window_chunk,
+                                          prepacked=prepacked)
     return reduce_buckets(proj_group, aff_group.to_projective(buckets), c, K_pad, L)
 
 
-def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: int | None = None):
+def bucket_accumulate(group, points, digits: jax.Array, c: int,
+                      window_chunk: int | None = None, prepacked: bool = False):
     """Phase 1+2 of Pippenger: sort + pair-halving bucket accumulation.
     Returns (buckets tree with leaves (n, K_pad, L), K_pad, L). On a mesh this
     runs per device on its point shard; the bucket trees are then combined
@@ -132,11 +135,12 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int, window_chunk: in
     M0 = KC * N
     sizes = _round_sizes(M0, G)
     use_packed = hasattr(group, "pack_rows")
-    # `points` may already be a prepacked (rows, N) array (produced by a
-    # fused prep kernel like AffineOps.pack_rows_glv) — the packed path only
-    # ever reads points through P_rows
+    # prepacked=True: `points` is already a packed (rows, N) array (produced
+    # by a fused prep kernel like AffineOps.pack_rows_glv) — the packed path
+    # only ever reads points through P_rows
+    assert not (prepacked and not use_packed), "prepacked needs a packed group"
     if use_packed:
-        P_rows = points if isinstance(points, jax.Array) else group.pack_rows(points)
+        P_rows = points if prepacked else group.pack_rows(points)
     else:
         P_rows = None
 
@@ -367,6 +371,17 @@ def _tree_reduce_axis(group, P, size: int, axis_from_end: int):
 def reduce_buckets(group, buckets, c: int, K_pad: int, L: int):
     """Phase 3+4 of Pippenger: bucket reduction and Horner window combine.
     buckets: tree with leaves (n, K_pad, L); position j holds bucket l = j+1.
+    Split into window_sums + combine_windows so the multi-chip path can
+    reduce-scatter windows over devices and all-gather the tiny sums."""
+    W = window_sums(group, buckets, K_pad, L)
+    W = jax.tree.map(
+        lambda a: a.reshape(*a.shape[:-2], a.shape[-2]), W
+    )  # leaves (n, K_pad)
+    return combine_windows(group, W, c, K_pad)
+
+
+def window_sums(group, buckets, K_pad: int, L: int):
+    """Per-window weighted bucket sum W_k = sum_j (j+1) B_{k,j}.
 
     Work-efficient two-level reduction (O(L) group adds per window — the
     TPU-shaped equivalent of the reference's triangle+row,
@@ -405,19 +420,19 @@ def reduce_buckets(group, buckets, c: int, K_pad: int, L: int):
     # sum_v (v+1) * C_v  =  sum over ALL suffix sums
     Csuf = _suffix_scan(group, Cs, S, (K_pad,))
     low = _tree_reduce_axis(group, Csuf, S, axis_from_end=0)
-    window_sums = group.add(high, low)  # (n, K_pad, 1)
+    return group.add(high, low)  # (n, K_pad, 1)
 
-    # window combine: S = sum_k 2^(ck) W_k, log-depth halves pairing instead
-    # of the sequential Horner scan (reference msm-batched-affine.ts:322-334
-    # does K_pad-1 sequential rounds of c doublings + 1 add; at ~O(1) fixed
-    # cost per device op that is ~3*K_pad dispatches on 1-lane arrays). Here:
-    # split k = i + (K2/2) j and fold halves, W_i += 2^(c*K2/2) W_{i+K2/2} —
-    # each level is ONE fused double_n kernel + ONE add at contiguous slices,
-    # so the whole combine is 2*log2(K2) kernels (lane width is padded to the
-    # vector tile anyway, so the extra doubling lanes are free).
-    W = jax.tree.map(
-        lambda a: a.reshape(*a.shape[:-2], a.shape[-2]), window_sums
-    )  # leaves (n, K_pad)
+
+def combine_windows(group, W, c: int, K_pad: int):
+    """Window combine: S = sum_k 2^(ck) W_k, log-depth halves pairing instead
+    of the sequential Horner scan (reference msm-batched-affine.ts:322-334
+    does K_pad-1 sequential rounds of c doublings + 1 add; at ~O(1) fixed
+    cost per device op that is ~3*K_pad dispatches on 1-lane arrays). Here:
+    split k = i + (K2/2) j and fold halves, W_i += 2^(c*K2/2) W_{i+K2/2} —
+    each level is ONE fused double_n kernel + ONE add at contiguous slices,
+    so the whole combine is 2*log2(K2) kernels (lane width is padded to the
+    vector tile anyway, so the extra doubling lanes are free).
+    W: tree with leaves (n, K_pad)."""
     K2 = _next_pow2(K_pad)
     if K2 != K_pad:
         ident = group.zero_like((K2 - K_pad,))

@@ -55,9 +55,23 @@ class DivstepParams:
 
 
 def divstep_params(f: FieldOps) -> DivstepParams:
+    """Raises ValueError when the int32 headroom preconditions fail; callers
+    (FieldOps.inv_root) fall back to the Fermat ladder then.
+
+    - matrix-entry x limb products and their 2-term sums must fit signed
+      int32: K_BATCH + w + 1 <= 30 (w >= 14 breaks this);
+    - the final binary-descent reduction and the NV = n+1 row headroom
+      assume accumulated v/r growth < 2^7 * p: n_batches <= 127 (moduli
+      beyond ~590 bits break this)."""
     p = f.p
     it = iterations(p.bit_length())
     nb = -(-it // K_BATCH)
+    if K_BATCH + f.w + 1 > 30:
+        raise ValueError(
+            f"divstep needs K_BATCH + w + 1 <= 30 (got w={f.w})"
+        )
+    if nb > 127:
+        raise ValueError(f"divstep needs n_batches <= 127 (got {nb})")
     pprime = (-pow(p, -1, 1 << K_BATCH)) % (1 << K_BATCH)
     return DivstepParams(f=f, iters=it, n_batches=nb, pprime=pprime)
 

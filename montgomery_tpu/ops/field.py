@@ -735,11 +735,19 @@ class FieldOps:
         if not (kernels.use_pallas() and kernels._MODE == "compiled"):
             return self.inv(x)
         cache = self.__dict__.setdefault("_divstep_cache", {})
+        if cache.get("unusable"):
+            return self.inv(x)
         fn = cache.get("fn")
         if fn is None:
             from .divstep import _inv_formula, divstep_params
 
-            dp = divstep_params(self)
+            try:
+                dp = divstep_params(self)
+            except ValueError:
+                # int32 headroom preconditions fail (w >= 14 or ~590+-bit
+                # modulus): the Fermat ladder is always correct
+                cache["unusable"] = True
+                return self.inv(x)
 
             def fn(xm, _dp=dp, _f=self):
                 plain = _f.reduce(_f._mul_const_impl(xm, (1,)))  # from mont
@@ -956,10 +964,24 @@ class FieldOps:
         return [v % self.p for v in codec.unpack(np.asarray(arr), self.mp)]
 
 
+_FIELD_OPS_CACHE: dict = {}
+
+
 def create_field_ops(p: int, w: int = 12, min_extra_bits: int = 2) -> FieldOps:
     """Build FieldOps with all constants precomputed (host side).
 
-    Analog of createMsmField (reference field-msm.ts:20-133)."""
+    Analog of createMsmField (reference field-msm.ts:20-133).
+
+    Memoized per (p, w, min_extra_bits): FieldOps is immutable apart from
+    formula/executable caches, and SHARING the instance means every context
+    built on the same field reuses one set of compiled kernels (the reference
+    similarly shares one wasm module per field across curves/threads,
+    parallel.ts:51-53). This is what makes the test suite finishable: each
+    test file building its own contexts no longer recompiles every formula."""
+    key = (p, w, min_extra_bits)
+    cached = _FIELD_OPS_CACHE.get(key)
+    if cached is not None:
+        return cached
     mp = montgomery_params(p, w, min_extra_bits)
     # require >= 6 bits of slack (R > 64p) so the lazy add/sub variants can
     # feed mont-mul with operands up to ~8p (a*b*p < R analysis); add a limb
@@ -993,7 +1015,7 @@ def create_field_ops(p: int, w: int = 12, min_extra_bits: int = 2) -> FieldOps:
     else:
         q_odd, g_inv_pows = 1, None
 
-    return FieldOps(
+    fops = FieldOps(
         mp=mp,
         p_limbs=p_limbs,
         two_p_limbs=two_p_limbs,
@@ -1004,3 +1026,5 @@ def create_field_ops(p: int, w: int = 12, min_extra_bits: int = 2) -> FieldOps:
         sqrt_q_odd=q_odd,
         sqrt_g_inv_pows=g_inv_pows,
     )
+    _FIELD_OPS_CACHE[key] = fops
+    return fops

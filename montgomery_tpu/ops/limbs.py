@@ -18,14 +18,38 @@ import numpy as np
 from ..bigint.util import MontgomeryParams, from_limbs, to_limbs
 
 
-def pack(values, mp: MontgomeryParams) -> np.ndarray:
-    """Pack a list of python ints (each in [0, 2^K)) into an (n, N) int32 array."""
-    n, w = mp.n, mp.w
-    N = len(values)
-    out = np.empty((n, N), dtype=np.int32)
-    for j, v in enumerate(values):
-        out[:, j] = to_limbs(v, w, n)
+def bytes_to_limbs(data, n_bytes: int, w: int, n_limbs: int) -> np.ndarray:
+    """Packed little-endian bytes (N elements x n_bytes each) -> (n_limbs, N)
+    int32 limb planes, vectorized over N (analog of fromPackedBytes,
+    wasm/field-helpers.ts:211-260). `data` may be bytes or a uint8 array."""
+    B = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, n_bytes)
+    out = np.zeros((n_limbs, B.shape[0]), dtype=np.int32)
+    mask = (1 << w) - 1
+    for j in range(n_limbs):
+        off = j * w
+        s, r = off // 8, off % 8
+        if s >= n_bytes:
+            break
+        val = B[:, s].astype(np.int32) >> r
+        have = 8 - r
+        t = 1
+        while have < w and s + t < n_bytes:
+            val = val | (B[:, s + t].astype(np.int32) << have)
+            have += 8
+            t += 1
+        out[j] = val & mask
     return out
+
+
+def pack(values, mp: MontgomeryParams) -> np.ndarray:
+    """Pack a list of python ints (each in [0, 2^K)) into an (n, N) int32
+    array. Vectorized: ints -> one little-endian byte blob (C-level
+    int.to_bytes per value) -> numpy limb extraction; the former per-value
+    30-limb python loop was minutes of host time at 2^20 points."""
+    n, w = mp.n, mp.w
+    nb = -(-(n * w) // 8)
+    blob = b"".join(int(v).to_bytes(nb, "little") for v in values)
+    return bytes_to_limbs(blob, nb, w, n)
 
 
 def unpack(arr, mp: MontgomeryParams) -> list[int]:

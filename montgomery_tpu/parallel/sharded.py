@@ -6,10 +6,18 @@ TPU-native equivalent of the reference's shared-memory thread parallelism
 axis; the atomic bucket counters and barriers disappear (each device
 accumulates its own full bucket grid over its point shard); the cross-thread
 bucket-chunk aggregation (msm-batched-affine.ts:306-318) becomes a butterfly
-(XOR-pattern) ppermute all-reduce whose reduction operator is the GROUP ADD,
-not a numeric sum (psum of limb arrays would be wrong — SURVEY.md §7.3
-item 6). The final triangle+Horner reduction is computed redundantly on every
-device (it is tiny relative to the accumulation phase).
+(XOR-pattern) ppermute REDUCE-SCATTER over the window axis whose reduction
+operator is the GROUP ADD, not a numeric sum (psum of limb arrays would be
+wrong — SURVEY.md §7.3 item 6). Each device then reduces only its own
+windows — the TPU analog of the reference's bucket-space work split
+(msm-common.ts:72-172 splitBuckets) — and the tiny per-window sums are
+all-gathered for a replicated Horner combine.
+
+vs the round-4 all-reduce + replicated reduction: ICI traffic drops from
+log2(D) full bucket grids to (1 - 1/D) of one grid, and the O(K*L) bucket
+reduction parallelizes D ways instead of being Amdahl's serial term (at
+2^16 / 8 devices the replicated reduction alone capped scaling efficiency
+at ~59%; see doc/PERF.md).
 
 Correctness note (round-3 verdict fix): the cross-shard combine ALWAYS runs in
 complete projective coordinates with the RCB complete add, regardless of how
@@ -29,13 +37,19 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..msm.pippenger import bucket_accumulate, reduce_buckets
+from ..msm.pippenger import (
+    bucket_accumulate,
+    combine_windows,
+    reduce_buckets,
+    window_sums,
+)
 
 
 def _butterfly_allreduce(group, buckets, axis: str, D: int):
     """All-reduce a bucket tree over the mesh axis with the GROUP ADD as the
     reduction operator (a psum of limb planes would be numerically wrong —
-    bucket entries are curve points)."""
+    bucket entries are curve points). Kept for the generic path and tests;
+    the flagship path uses the cheaper reduce-scatter below."""
     s = 1
     while s < D:
         perm = [(i, i ^ s) for i in range(D)]
@@ -43,6 +57,79 @@ def _butterfly_allreduce(group, buckets, axis: str, D: int):
         buckets = group.add(buckets, other)
         s <<= 1
     return buckets
+
+
+def _pad_windows(group, buckets, K_pad: int, K2: int):
+    """Pad the window axis (second-to-last) with identity windows."""
+    if K2 == K_pad:
+        return buckets
+    probe = jax.tree.leaves(buckets)[0]
+    L = probe.shape[-1]
+    ident = group.zero_like((K2 - K_pad, L))
+
+    def cat(a, z):
+        ax = a.ndim - 2
+        return jnp.concatenate([a, z], axis=ax)
+
+    return jax.tree.map(cat, buckets, ident)
+
+
+def _win_slice(buckets, lo: int, hi: int):
+    def sl(a):
+        return jax.lax.slice_in_dim(a, lo, hi, axis=a.ndim - 2)
+
+    return jax.tree.map(sl, buckets)
+
+
+def _butterfly_reduce_scatter(group, buckets, axis: str, D: int, K2: int):
+    """Hypercube reduce-scatter over the WINDOW axis with the group add:
+    log2(D) steps, each exchanging HALF the currently-live window range
+    (total traffic (1 - 1/D) of one grid vs log2(D) grids for all-reduce).
+    After the last step device d holds windows [d*K2/D, (d+1)*K2/D) fully
+    summed across all devices. K2 must be divisible by D."""
+    assert K2 % D == 0
+    idx = jax.lax.axis_index(axis)
+    width = K2
+    s = D >> 1
+    while s >= 1:
+        h = width // 2
+        bit = (idx // s) % 2  # 0: keep low half, 1: keep high half
+        low = _win_slice(buckets, 0, h)
+        high = _win_slice(buckets, h, width)
+        # send the half I am giving up; receive the partner's matching half
+        send = jax.tree.map(
+            lambda a, b: jnp.where(bit == 0, b, a), low, high
+        )
+        perm = [(i, i ^ s) for i in range(D)]
+        recv = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), send)
+        keep = jax.tree.map(
+            lambda a, b: jnp.where(bit == 0, a, b), low, high
+        )
+        buckets = group.add(keep, recv)
+        width = h
+        s >>= 1
+    return buckets
+
+
+def _reduce_scatter_windows(rg, buckets, c: int, mesh_axis: str, D: int,
+                            K_pad: int, L: int):
+    """Reduce-scatter bucket grids over windows, reduce locally, all-gather
+    the per-window sums, combine replicated. Returns the final point (1,)."""
+    K2 = -(-K_pad // D) * D if D > 1 else K_pad
+    buckets = _pad_windows(rg, buckets, K_pad, K2)
+    if D > 1:
+        buckets = _butterfly_reduce_scatter(rg, buckets, mesh_axis, D, K2)
+    Kloc = K2 // D
+    W = window_sums(rg, buckets, Kloc, L)  # leaves (n, Kloc, 1)
+    W = jax.tree.map(lambda a: a.reshape(*a.shape[:-2], a.shape[-2]), W)
+    if D > 1:
+        W = jax.tree.map(
+            lambda a: jax.lax.all_gather(
+                a, mesh_axis, axis=a.ndim - 1, tiled=True
+            ),
+            W,
+        )  # leaves (n, K2), natural window order
+    return combine_windows(rg, W, c, K2)
 
 
 def msm_sharded(group, points, digits, c: int, mesh: Mesh, axis: str = "dp",
@@ -84,13 +171,11 @@ def msm_sharded(group, points, digits, c: int, mesh: Mesh, axis: str = "dp",
             group, points_local, digits_local, c, window_chunk
         )
         # cross-shard combine must be COMPLETE (empty/equal buckets are
-        # structural): convert to the reduce group first, then butterfly
-        # all-reduce with its complete add
+        # structural): convert to the reduce group first, then window
+        # reduce-scatter with its complete add
         if to_reduce is not None:
             buckets = to_reduce(buckets)
-        buckets = _butterfly_allreduce(rg, buckets, axis, D)
-        # triangle + horner, redundantly replicated on each device
-        return reduce_buckets(rg, buckets, c, K_pad, L)
+        return _reduce_scatter_windows(rg, buckets, c, axis, D, K_pad, L)
 
     return run(points, digits)
 
@@ -101,12 +186,13 @@ def msm_full_sharded(ctx, points, scalar_limbs, c: int, mesh: Mesh,
     """The FLAGSHIP multi-chip pipeline: everything on device, points and
     scalars sharded along `axis` — GLV point expansion (endomorphism), GLV
     decomposition + signed-digit slicing, packed batched-affine bucket
-    accumulation on each shard, butterfly point-add all-reduce of the bucket
-    grids over ICI, replicated projective reduction + Horner combine.
+    accumulation on each shard, butterfly point-add reduce-scatter of the
+    bucket grids over ICI, per-device window reduction, all-gathered Horner
+    combine.
 
     The TPU analog of the reference's full parallel msm
     (msm-batched-affine.ts:69-339: range(N)-sharded prep, per-thread bucket
-    accumulation, cross-thread chunk aggregation, main-thread combine).
+    accumulation, bucket-space-split reduction, main-thread combine).
 
     ctx: WeierstrassMsm; points: AffineBatch (N); scalar_limbs: (ns, N).
     """
@@ -142,7 +228,7 @@ def msm_full_sharded(ctx, points, scalar_limbs, c: int, mesh: Mesh,
         else:
             src = rg.from_points(ctx.expand_points_glv(pts_local))
         buckets, K_pad, L = bucket_accumulate(
-            group, src, digits_local, c, window_chunk
+            group, src, digits_local, c, window_chunk, prepacked=affine
         )
         # cross-shard combine in COMPLETE projective coordinates (see module
         # docstring): empty buckets (inf) and equal cross-shard bucket sums
@@ -150,8 +236,7 @@ def msm_full_sharded(ctx, points, scalar_limbs, c: int, mesh: Mesh,
         # affine add does not.
         if affine:
             buckets = group.to_projective(buckets)
-        buckets = _butterfly_allreduce(rg, buckets, axis, D)
-        return reduce_buckets(rg, buckets, c, K_pad, L)
+        return _reduce_scatter_windows(rg, buckets, c, axis, D, K_pad, L)
 
     return run(points, scalar_limbs)
 

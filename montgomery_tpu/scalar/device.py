@@ -37,27 +37,11 @@ Array = jax.Array
 
 
 def bytes_to_limbs_np(data: bytes | np.ndarray, n_bytes: int, w: int, n_limbs: int) -> np.ndarray:
-    """Packed little-endian bytes (N elements x n_bytes each) -> (n_limbs, N)
-    int32 limb planes, vectorized over N (analog of fromPackedBytes,
-    wasm/field-helpers.ts:211-260)."""
-    B = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, n_bytes)
-    N = B.shape[0]
-    out = np.zeros((n_limbs, N), dtype=np.int32)
-    mask = (1 << w) - 1
-    for j in range(n_limbs):
-        off = j * w
-        s, r = off // 8, off % 8
-        if s >= n_bytes:
-            break
-        val = (B[:, s].astype(np.int32) >> r)
-        have = 8 - r
-        t = 1
-        while have < w and s + t < n_bytes:
-            val = val | (B[:, s + t].astype(np.int32) << have)
-            have += 8
-            t += 1
-        out[j] = val & mask
-    return out
+    """Packed little-endian bytes -> (n_limbs, N) int32 limb planes
+    (vectorized; shared implementation in ops/limbs.py bytes_to_limbs)."""
+    from ..ops.limbs import bytes_to_limbs
+
+    return bytes_to_limbs(data, n_bytes, w, n_limbs)
 
 
 def ints_to_limbs_np(values, bits: int, w: int, n_limbs: int | None = None) -> np.ndarray:

@@ -5,6 +5,11 @@ Analog of the reference's ZPrize harness entry point
 pointsFromBytes/scalarsFromBytes :97-133): accepts points/scalars as packed
 little-endian bytes or python ints, runs the full device MSM, returns the
 affine result as bigints.
+
+Ingestion is vectorized end-to-end: bytes go straight through numpy limb
+extraction + one device to-Montgomery kernel (no per-point Python loop —
+the reference shards exactly this conversion across its worker pool,
+parallel.ts:97-133); int inputs pay one C-level int.to_bytes per value.
 """
 
 from __future__ import annotations
@@ -32,62 +37,81 @@ def get_curve(label: str):
                    f"{sorted(_WEIERSTRASS) + sorted(_EDWARDS)}")
 
 
-def _coerce_points(ctx, points):
-    """points: list of (x, y) int tuples, AffinePoint/EdwardsPoint, or a bytes
-    object with 2*n_packed_bytes per point (x || y, little-endian)."""
-    nb = ctx.fops.mp.n_packed_bytes
+def _points_to_batch(ctx, points):
+    """points (packed bytes | list of (x, y) tuples or oracle points) ->
+    device point batch via the vectorized byte path. For Weierstrass curves
+    (0, 0) encodes the point at infinity (AffinePoint.zero)."""
     if isinstance(points, (bytes, bytearray)):
-        step = 2 * nb
-        assert len(points) % step == 0
-        out = []
-        for off in range(0, len(points), step):
-            x = int.from_bytes(points[off : off + nb], "little")
-            y = int.from_bytes(points[off + nb : off + step], "little")
-            out.append((x, y))
-        points = out
-    cls = AffinePoint if isinstance(ctx, WeierstrassMsm) else EdwardsPoint
-    coerced = []
-    for P in points:
+        step = 2 * ctx.fops.mp.n_packed_bytes
+        if len(points) == 0 or len(points) % step != 0:
+            raise ValueError(
+                f"point bytes must be a nonzero multiple of {step} "
+                f"(2 coordinates x n_packed_bytes); got {len(points)}"
+            )
+        return ctx.points_from_bytes(points)
+    if len(points) == 0:
+        raise ValueError("empty point list")
+    nb = ctx.fops.mp.n_packed_bytes
+
+    def xy(P):
         if isinstance(P, (AffinePoint, EdwardsPoint)):
-            coerced.append(P)
-        else:
-            x, y = P
-            coerced.append(cls(x, y))
-    return coerced
+            return P.x, P.y
+        return P
+
+    blob = b"".join(
+        int(x).to_bytes(nb, "little") + int(y).to_bytes(nb, "little")
+        for x, y in map(xy, points)
+    )
+    return ctx.points_from_bytes(blob)
 
 
-def _coerce_scalars(ctx, scalars):
-    if isinstance(scalars, (bytes, bytearray)):
-        nb = (ctx.params.order.bit_length() + 7) // 8
-        assert len(scalars) % nb == 0
-        scalars = [
-            int.from_bytes(scalars[off : off + nb], "little")
-            for off in range(0, len(scalars), nb)
-        ]
-    return [int(s) for s in scalars]
+def _scalar_limbs(ctx, scalars):
+    """scalars (packed bytes | list of ints) -> (ns, N) device limb planes."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(ctx.scalars_to_limbs(scalars))
 
 
 def compute_msm(points, scalars, curve: str = "bls12-377",
-                c: int | None = None) -> tuple[int, int]:
+                c: int | None = None, validate: bool = True) -> tuple[int, int]:
     """S = sum_i scalars[i] * points[i]; returns affine (x, y) as ints
     ((0, 0) encodes the point at infinity for Weierstrass curves).
 
     points/scalars may be python ints/tuples or packed little-endian bytes
-    (x || y per point; order-sized scalars)."""
+    (x || y per point; order-sized scalars).
+
+    validate=True rejects malformed input with ValueError: empty inputs,
+    length mismatches, and off-curve points (one vectorized on-curve check —
+    the reference's equivalence harness requires invalid inputs to be
+    rejected, testing/equivalent.ts:228-256 handleErrors + the invalid-point
+    cases of curve-projective.test.ts)."""
+    import jax
+    import numpy as np
+
     ctx = get_curve(curve)
-    pts = _coerce_points(ctx, points)
-    sc = _coerce_scalars(ctx, scalars)
-    if isinstance(ctx, WeierstrassMsm):
-        # hot path: everything after numpy ingestion is ONE jit — device GLV
-        # decomposition + digit slicing + batched-affine MSM (no per-scalar
-        # Python; reference decomposes inside the parallel msm,
-        # scripts/zprize23/submission.ts:26-30)
-        if ctx.glv is not None:
-            R = ctx.msm_full(sc, pts, c=c)
-        else:
-            R = ctx.msm(sc, pts, c=c)
-        if R.is_zero:
-            return (0, 0)
-        return (R.x, R.y)
-    R = ctx.msm_full(sc, pts, c=c)
+    batch = _points_to_batch(ctx, points)
+    limbs = _scalar_limbs(ctx, scalars)
+    n_pts = int((batch.inf if isinstance(ctx, WeierstrassMsm)
+                 else batch.X).shape[-1])
+    if int(limbs.shape[-1]) != n_pts:
+        raise ValueError(
+            f"length mismatch: {n_pts} points vs {int(limbs.shape[-1])} scalars"
+        )
+    if validate:
+        cache = ctx._jits
+        if "serve_on_curve" not in cache:
+            chk = (ctx.affine.is_on_curve if isinstance(ctx, WeierstrassMsm)
+                   else ctx.ed.is_on_curve)
+            cache["serve_on_curve"] = jax.jit(chk)
+        ok = cache["serve_on_curve"](batch)
+        bad = int(np.sum(~np.asarray(ok)))
+        if bad:
+            raise ValueError(f"{bad} input point(s) not on curve {curve!r}")
+    # hot path: everything after numpy ingestion is ONE jit — device GLV
+    # decomposition (Weierstrass) / digit slicing + MSM (no per-scalar
+    # Python; reference decomposes inside the parallel msm,
+    # scripts/zprize23/submission.ts:26-30)
+    R = ctx.msm_full(limbs, batch, c=c)
+    if isinstance(ctx, WeierstrassMsm) and R.is_zero:
+        return (0, 0)
     return (R.x, R.y)
