@@ -154,9 +154,13 @@ def main():
             log(f"full-N validation passed (cached expected, N=2^{log2n})")
         else:
             t0 = time.time()
+            # window_chunk keeps the (unpacked projective) check engine's
+            # working set inside HBM at large N (full-K at 2^20 OOMed 16G)
+            wc2 = 2 if log2n >= 18 else None
             fn2 = jax.jit(
                 lambda p, sl: ctx.msm_device_full(p, sl, c, affine=not affine,
-                                                  unsafe=False)
+                                                  unsafe=False,
+                                                  window_chunk=wc2)
             )
             got2 = ctx.proj.to_host(fn2(P, limbs))[0]
             if not C.equal(got, got2):

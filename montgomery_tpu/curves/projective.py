@@ -235,6 +235,30 @@ class ProjectiveOps(MemoizedOps):
             return Q
         from ..ops import kernels
 
+        if kernels.use_pallas() and kernels._MODE == "callback":
+            # dynamic trip count -> ONE compiled executable serves every k.
+            # The Horner combine instantiates double_n at log2(K) distinct
+            # k values; per-k executables cost ~37 s EACH to compile on
+            # XLA:CPU (the single largest cost of the old test suite).
+            # Mosaic (compiled mode) keeps static-k fori kernels.
+            cache = self.__dict__.setdefault("_dbl_n_cache", {})
+            fn = cache.get("dyn")
+            if fn is None:
+
+                def fn(X, Y, Z, kpl):
+                    def body(_, S):
+                        return tuple(self._dbl_rcb_formula(*S))
+
+                    return list(
+                        jax.lax.fori_loop(0, kpl[0, 0], body, (X, Y, Z))
+                    )
+
+                cache["dyn"] = fn
+            kpl = jnp.full((1, *P.X.shape[1:]), k, jnp.int32)
+            X3, Y3, Z3 = kernels.fused(
+                "proj_dbln_rcb", fn, [P.X, P.Y, P.Z, kpl], [self.f.n] * 3
+            )
+            return ProjectiveBatch(X3, Y3, Z3)
         cache = self.__dict__.setdefault("_dbl_n_cache", {})
         fn = cache.get(k)
         if fn is None:

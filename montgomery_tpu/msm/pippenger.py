@@ -208,6 +208,64 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int,
         P_new = group.add_packed(A, B, sA, sB, hp)
         return P_new, new_counts, new_starts
 
+    def super_round_packed(counts, starts, size_out, perm, F: int):
+        """F-way merge round (packed path, round 0): gather the F operands
+        of log2(F) pair-halving LEVELS in ONE take, then run the levels as
+        add_packed stages on CONTIGUOUS halves. Rationale (measured,
+        .logs/prim_probe.log): gathers cost ~23-38 ns/column while
+        contiguous-half slicing streams at ~0.8 ns/column, so fusing 3
+        rounds into one gather removes ~40% of the engine's gathered
+        columns at 2^20. Operand blocks are laid out in bit-reversed order
+        [t=0,4,2,6,1,5,3,7] so every level's operands are the two
+        contiguous halves of the previous stage's output.
+
+        Validity: output slot j covers run elements [src0, src0+F) with
+        src0 = F*rank; r = elements remaining = end - src0. Level masks:
+        the pair (first t, second t') merges iff r > t' (second operand
+        exists in the run); pass-through chains preserve the survivor."""
+        Fl = F.bit_length() - 1  # levels (F = 8 -> 3)
+        new_counts = (counts + F - 1) // F
+        new_starts = _excl_cumsum(new_counts)
+        ends = starts + counts
+        delta = starts - F * new_starts
+        hist = jnp.bincount(jnp.clip(new_starts, 0, size_out),
+                            length=size_out + 1)
+        bid = jnp.cumsum(hist[:size_out]).astype(jnp.int32) - 1
+        bid = jnp.clip(bid, 0, Gd - 1)
+        j = jnp.arange(size_out, dtype=jnp.int32)
+        de = jnp.take(jnp.stack([delta, ends]), bid, axis=1)
+        src0 = F * j + de[0]
+        r = de[1] - src0  # elements remaining from this slot's base
+
+        # bit-reversed block order: level-l operand pairs are contiguous
+        bitrev = sorted(range(F), key=lambda t: int(f"{t:0{Fl}b}"[::-1], 2))
+        both = jnp.concatenate(
+            [jnp.clip(src0 + t, 0, None) for t in bitrev]
+        )
+        perm_flat, nb = perm
+        pv = jnp.take(perm_flat, both)
+        X = jnp.take(P_rows, (pv >> 1) & ((1 << nb) - 1), axis=-1)
+        sg = (pv & 1)[None]
+        half = (F // 2) * size_out
+        C, sA, sB = X, sg[:, :half], sg[:, half:]
+        blocks = bitrev
+        s = size_out
+        for lvl in range(Fl):
+            nblk = len(blocks) // 2
+            a_blk, b_blk = blocks[:nblk], blocks[nblk:]
+            # pair (a_blk[i], b_blk[i]) merges iff the second element exists
+            hp = jnp.concatenate(
+                [r > t2 for t2 in b_blk]
+            ).astype(jnp.int32)[None]
+            w = nblk * s
+            A, B = C[:, :w], C[:, w:]
+            if lvl > 0:
+                sA = sB = jnp.zeros((1, w), jnp.int32)
+            C = group.add_packed(A, B, sA, sB, hp)
+            # surviving block t of the pair keeps the FIRST operand's id
+            blocks = a_blk
+        return C, new_counts, new_starts
+
     def chunk_body(_, digits_chunk):
         # digits_chunk: (KC, N)
         b = jnp.abs(digits_chunk)
@@ -264,13 +322,29 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int,
         size1 = sizes[1] if len(sizes) > 1 else M0
         M_B = sizes[-1] if len(sizes) > 1 else M0
         if use_packed:
-            P_cur, counts, starts = pair_round_packed(
-                None, counts, starts, size1, perm=(perm_flat, nb)
-            )
-            for size_out in sizes[2:]:
-                P_cur, counts, starts = pair_round_packed(
-                    P_cur, counts, starts, size_out
+            # 8-way first round once the points-per-bucket ratio makes the
+            # +G-per-level slot padding negligible (2^20 production regime);
+            # below that the plain pair round 0 wins
+            F0 = 8 if M0 >= 256 * G else 2
+            if F0 > 2:
+                size_s = M0 // F0 + G + 2
+                P_cur, counts, starts = super_round_packed(
+                    counts, starts, size_s, (perm_flat, nb), F0
                 )
+                tail_sizes = _round_sizes(size_s, G)
+                for size_out in tail_sizes[1:]:
+                    P_cur, counts, starts = pair_round_packed(
+                        P_cur, counts, starts, size_out
+                    )
+                M_B = tail_sizes[-1]
+            else:
+                P_cur, counts, starts = pair_round_packed(
+                    None, counts, starts, size1, perm=(perm_flat, nb)
+                )
+                for size_out in sizes[2:]:
+                    P_cur, counts, starts = pair_round_packed(
+                        P_cur, counts, starts, size_out
+                    )
             round_fn = pair_round_packed
         else:
             # round 0: reads original points through the sorted index (avoids

@@ -820,6 +820,23 @@ class FieldOps:
         from . import kernels
 
         cache = self.__dict__.setdefault("_sqrn_cache", {})
+        if kernels.use_pallas() and kernels._MODE == "callback":
+            # dynamic trip count: one executable for every chain length
+            # (sqrt uses ~M/4 distinct lengths; per-length XLA:CPU compiles
+            # dominated test time). Mosaic keeps static-m kernels.
+            fn = cache.get("dyn")
+            if fn is None:
+
+                def fn(x, mpl):
+                    return [
+                        jax.lax.fori_loop(
+                            0, mpl[0, 0], lambda _, a: self._sqr_impl(a), x
+                        )
+                    ]
+
+                cache["dyn"] = fn
+            mpl = jnp.full((1, *x.shape[1:]), m, jnp.int32)
+            return kernels.fused("sqr_n_dyn", fn, [x, mpl], [self.n])[0]
         fn = cache.get(m)
         if fn is None:
 

@@ -243,7 +243,21 @@ def _callback_jit(formula, in_rows: tuple, n_pad: int):
         avals = [
             jax.ShapeDtypeStruct((r, n_pad), jnp.int32) for r in in_rows
         ]
-        fn = jax.jit(wrapped).lower(*avals).compile()
+        lowered = jax.jit(wrapped).lower(*avals)
+        # callback executables exist for CORRECTNESS (CPU test suites); at
+        # XLA:CPU's default optimization level a single big field formula
+        # takes 15-40 s to compile vs ~2 s at level 0 (measured,
+        # .logs/optlevel_probe2.log) — the dominant cost of the old suite.
+        opts = None
+        import os
+
+        lvl = os.environ.get("MSM_CB_OPT_LEVEL", "0")
+        if jax.default_backend() == "cpu" and lvl != "default":
+            opts = {"xla_backend_optimization_level": lvl}
+        try:
+            fn = lowered.compile(compiler_options=opts) if opts else lowered.compile()
+        except Exception:
+            fn = lowered.compile()
         _CB_JIT_CACHE[key] = fn
     return fn
 

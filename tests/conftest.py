@@ -16,16 +16,19 @@ import jax  # noqa: E402
 # Match TPU numerics: no x64 (TPU has no int64 path; kernels are int32-only).
 jax.config.update("jax_platforms", "cpu")
 
-# NO persistent compilation cache for the CPU suite: deserializing large
-# XLA:CPU AOT cache entries crashes the process (deterministic SIGSEGV /
-# SIGABRT inside compilation_cache.get_executable_and_time when
-# test_sqrt[bls12377] reloads its windowed-sqrt executables — reproduced
-# with a fresh same-machine cache dir, so it is the loader, not machine
-# mismatch; the loader also warns '+prefer-no-gather is not supported on
-# the host machine ... could lead to execution errors such as SIGILL').
-# Tests therefore compile in-process only: slower cold, but the suite
-# completes deterministically. The TPU bench/scripts keep .jax_cache (the
-# remote-compile path has no such loader).
+# Persistent compilation cache for the CPU suite (round-5): callback-mode
+# executables now compile at XLA backend optimization level 0 (see
+# ops/kernels.py _callback_jit), and reloading those smaller entries is
+# stable — verified by a cold+warm trial incl. the windowed-sqrt
+# executables that used to SIGSEGV the loader at default opt level
+# (.logs/cache_trial_*.log; warm run 5x faster, rc=0). If a loader crash
+# ever resurfaces, set MSM_TEST_CACHE=0.
+if os.environ.get("MSM_TEST_CACHE", "1") == "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), os.pardir,
+                                   ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 import random  # noqa: E402

@@ -53,6 +53,68 @@ def test_msm_sharded_8dev(rng):
         assert C.equal(got2, exp)
 
 
+def test_msm_sharded_edwards_8dev(rng):
+    """Twisted-Edwards MSM sharded over the mesh (generic engine + the
+    window reduce-scatter): TE adds are complete, so the same collective
+    structure applies without a coordinate change."""
+    from montgomery_tpu.bigint import TwistedEdwardsCurve
+    from montgomery_tpu.concrete import ED_ON_BLS12_377
+    from montgomery_tpu.msm import EdwardsMsm
+
+    E = TwistedEdwardsCurve(ED_ON_BLS12_377)
+    ctx = EdwardsMsm(ED_ON_BLS12_377)
+    N, c = 32, 4
+    pts = [E.scale(rng.randrange(1, 1 << 62), E.generator) for _ in range(N)]
+    sc = [rng.randrange(1 << 62) for _ in range(N)]
+    sc[0] = 0
+    pts[9] = pts[1]
+    sc[9] = sc[1]
+    mesh = make_mesh(8)
+    d = jnp.asarray(ctx.digits(sc, c, scalar_bits=64))
+    P = ctx.ed.to_device(pts)
+    P, d = shard_points(P, d, mesh)
+    with kernels.force_pallas(True, callback=True):
+        S = jax.jit(lambda a, dg: msm_sharded(ctx.adapter, a, dg, c, mesh))(P, d)
+        got = ctx.ed.to_host(S)[0]
+    exp = oracle_msm(E, sc, pts)
+    assert E.equal(got, exp)
+
+
+@pytest.mark.slow
+def test_msm_sharded_production_shape(rng):
+    """Production-regime sharded run (round-4 verdict item #7): c = 10 (so
+    K_pad/L match the single-chip production MSM), >= 2^8 points per shard,
+    window_chunk set, SAFE engine, vs the oracle."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    C = WeierstrassCurve(BLS12_377)
+    ctx = WeierstrassMsm(BLS12_377)
+    n_dev, c = 8, 10
+    N = n_dev * (1 << 8)
+    base = [C.scale(rng.randrange(1, 1 << 62), C.generator) for _ in range(64)]
+    pts = [base[i % 64] for i in range(N)]
+    sc = [rng.randrange(BLS12_377.order) for _ in range(N)]
+    A = ctx.proj.affine_to_device(pts)
+    limbs = jnp.asarray(ctx.scalars_to_limbs(sc))
+    mesh = make_mesh(n_dev)
+
+    def put(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(*([None] * (a.ndim - 1) + ["dp"])))
+        )
+
+    A = jax.tree.map(put, A)
+    limbs = put(limbs)
+    with kernels.force_pallas(True, callback=True):
+        S = jax.jit(
+            lambda a, sl: msm_full_sharded(
+                ctx, a, sl, c, mesh, unsafe=False, window_chunk=7
+            )
+        )(A, limbs)
+        got = ctx.proj.to_host(S)[0]
+    assert C.equal(got, oracle_msm(C, sc, pts))
+
+
 @pytest.mark.parametrize("unsafe", [True, False])
 def test_msm_flagship_sharded_8dev(rng, unsafe):
     """The FLAGSHIP pipeline (GLV expand + device GLV digits + packed
