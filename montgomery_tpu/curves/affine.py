@@ -216,21 +216,12 @@ class AffineOps(MemoizedOps):
         return 2 * self._half + 1
 
     def _pack16(self, x: Array) -> Array:
-        """(n, M) canonical limbs -> (ceil(n/2), M): limb j | limb j+half << 16."""
-        n, h = self.f.n, self._half
-        lo = x[:h]
-        hi = x[h:]
-        if hi.shape[0] < h:
-            hi = jnp.concatenate(
-                [hi, jnp.zeros((h - hi.shape[0], *x.shape[1:]), x.dtype)], axis=0
-            )
-        return lo | (hi << 16)
+        """(n, M) canonical limbs -> (ceil(n/2), M): limb j | limb j+half << 16
+        (shared implementation: ops/limbs.py pack16)."""
+        return codec.pack16(x, self.f.n)
 
     def _unpack16(self, p: Array) -> Array:
-        n, h = self.f.n, self._half
-        lo = p & 0xFFFF
-        hi = (p >> 16) & 0xFFFF
-        return jnp.concatenate([lo, hi[: n - h]], axis=0)
+        return codec.unpack16(p, self.f.n)
 
     def pack_rows(self, A: AffineBatch) -> Array:
         """AffineBatch -> (2*ceil(n/2)+1, M) int32 packed rows."""

@@ -118,6 +118,12 @@ class AffineAccumAdapter:
     def add_packed(self, A, B, sA, sB, valid):
         return self.aff.add_packed(A, B, sA, sB, valid, unsafe=self.unsafe)
 
+    def buckets_from_packed(self, Bp, valid) -> AffineBatch:
+        """Packed bucket gather -> point batch; invalid (empty) buckets
+        become the identity (inf)."""
+        ub = self.unpack_rows(Bp)
+        return AffineBatch(ub.x, ub.y, ub.inf | jnp.logical_not(valid))
+
 
 class EdwardsAdapter:
     """Twisted-Edwards MSM accumulation in extended coords (no masks needed)."""
@@ -162,3 +168,28 @@ class EdwardsAdapter:
     def reshape(self, P, shape):
         n = self.f.n
         return jax.tree.map(lambda a: a.reshape((n, *shape) if a.shape[0] == n else shape), P)
+
+    # --- packed fast path (EdwardsOps packed form): ONE (4*half, M) array
+    #     per point set -> one lane gather + ONE fused add per pair round
+    #     (the TE add is inversion-free; reference flagship TE engine) ---
+
+    @property
+    def packed_rows(self) -> int:
+        return self.ed.packed_rows
+
+    def pack_rows(self, P: EdwardsBatch):
+        return self.ed.pack_rows(P)
+
+    def unpack_rows(self, A):
+        return self.ed.unpack_rows(A)
+
+    def add_packed(self, A, B, sA, sB, valid):
+        return self.ed.add_packed(A, B, sA, sB, valid)
+
+    def buckets_from_packed(self, Bp, valid) -> EdwardsBatch:
+        ub = self.ed.unpack_rows(Bp)
+        f = self.f
+        one = f.bc_full(f.one_mont, ub.Y)
+        z = jnp.zeros_like(ub.X)
+        zero = EdwardsBatch(z, one, one, z)
+        return self.ed.select(valid, ub, zero)

@@ -383,8 +383,7 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int,
         valid = jnp.take(counts, gid) == 1
         if use_packed:
             Bp = jnp.take(P_cur, jnp.take(starts, gid), axis=-1)
-            ub = group.unpack_rows(Bp)
-            Bpt = type(ub)(ub.x, ub.y, ub.inf | jnp.logical_not(valid))
+            Bpt = group.buckets_from_packed(Bp, valid)
         else:
             Bpt = group.gather(P_cur, jnp.take(starts, gid))
             Bpt = group.select(valid, Bpt, group.zero_like((KC * L,)))

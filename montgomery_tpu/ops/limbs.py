@@ -59,6 +59,33 @@ def unpack(arr, mp: MontgomeryParams) -> list[int]:
     return [from_limbs(a[:, j], mp.w) for j in range(a.shape[1])]
 
 
+def pack16(x, n: int):
+    """(n, M) canonical w<=16-bit limb planes -> (ceil(n/2), M) int32 with
+    TWO limbs per row (limb j | limb j+ceil(n/2) << 16): halves are
+    contiguous row blocks, so packing is shift/mask only (no sublane
+    interleave). Shared by the packed point forms (AffineOps / EdwardsOps)."""
+    import jax.numpy as jnp
+
+    h = (n + 1) // 2
+    lo = x[:h]
+    hi = x[h:]
+    if hi.shape[0] < h:
+        hi = jnp.concatenate(
+            [hi, jnp.zeros((h - hi.shape[0], *x.shape[1:]), x.dtype)], axis=0
+        )
+    return lo | (hi << 16)
+
+
+def unpack16(p, n: int):
+    """Inverse of pack16: (ceil(n/2), M) -> (n, M)."""
+    import jax.numpy as jnp
+
+    h = (n + 1) // 2
+    lo = p & 0xFFFF
+    hi = (p >> 16) & 0xFFFF
+    return jnp.concatenate([lo, hi[: n - h]], axis=0)
+
+
 def pack_scalar(value: int, mp: MontgomeryParams) -> np.ndarray:
     """Pack a single int as an (n, 1) constant plane (broadcastable)."""
     return pack([value], mp)
