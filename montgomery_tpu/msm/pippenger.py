@@ -323,9 +323,14 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int,
         M_B = sizes[-1] if len(sizes) > 1 else M0
         if use_packed:
             # 8-way first round once the points-per-bucket ratio makes the
-            # +G-per-level slot padding negligible (2^20 production regime);
-            # below that the plain pair round 0 wins
-            F0 = 8 if M0 >= 256 * G else 2
+            # +G-per-level slot padding negligible; below that the plain
+            # pair round 0 wins (threshold measured: 2^20 c=13 accumulate
+            # 2.38 s -> 1.82 s, .logs/bench_2pow20_super.log).
+            # MSM_SUPER=0 disables (debug bisection knob).
+            import os as _os
+
+            F0 = 8 if (M0 >= 64 * G
+                       and _os.environ.get("MSM_SUPER", "1") == "1") else 2
             if F0 > 2:
                 size_s = M0 // F0 + G + 2
                 P_cur, counts, starts = super_round_packed(

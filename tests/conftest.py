@@ -16,19 +16,26 @@ import jax  # noqa: E402
 # Match TPU numerics: no x64 (TPU has no int64 path; kernels are int32-only).
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache for the CPU suite (round-5): callback-mode
-# executables now compile at XLA backend optimization level 0 (see
-# ops/kernels.py _callback_jit), and reloading those smaller entries is
-# stable — verified by a cold+warm trial incl. the windowed-sqrt
-# executables that used to SIGSEGV the loader at default opt level
-# (.logs/cache_trial_*.log; warm run 5x faster, rc=0). If a loader crash
-# ever resurfaces, set MSM_TEST_CACHE=0.
+# Persistent compilation cache for the CPU suite (round-5), READ-ONLY by
+# default: cache LOADS are stable (verified across the whole suite incl.
+# the windowed-sqrt executables), but XLA:CPU's executable SERIALIZER
+# segfaults nondeterministically on some entries (stack:
+# compilation_cache.put_executable_and_time, .logs/pytest_full_cold.log) —
+# so plain pytest runs never write. To (re)warm the cache run
+# scripts/warm_test_cache.py, which enables writes (MSM_TEST_CACHE_WRITE=1)
+# in child pytest processes and simply reruns on a serializer crash — every
+# attempt adds entries, so it converges. Warm suite runs load everything
+# and skip the expensive compiles. MSM_TEST_CACHE=0 disables entirely.
 if os.environ.get("MSM_TEST_CACHE", "1") == "1":
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), os.pardir,
                                    ".jax_cache_cpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if os.environ.get("MSM_TEST_CACHE_WRITE", "0") != "1":
+        from jax._src import compilation_cache as _cc
+
+        _cc.put_executable_and_time = lambda *a, **k: None
 
 import pytest  # noqa: E402
 import random  # noqa: E402
