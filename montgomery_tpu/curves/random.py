@@ -80,6 +80,50 @@ def _uniform_field_vals(rng: np.random.Generator, M: int, p: int) -> list[int]:
     ]
 
 
+def random_points_fast_edwards(ed: EdwardsOps, N: int, seed: int = 0,
+                               n_tables: int = 3,
+                               table_size: int = 256) -> EdwardsBatch:
+    """Fast random TE subgroup points (reference curve-random.ts
+    randomPointsFast analog for the Edwards path): each output is the sum of
+    one entry from each of `n_tables` multiple-tables of host-generated base
+    points. Compile-light (no sqrt kernels) — used for benchmarking."""
+    import random as pyrandom
+
+    from ..bigint.twisted_edwards import TwistedEdwardsCurve
+
+    rng = pyrandom.Random(seed)
+    E = TwistedEdwardsCurve(ed.params)
+    bases = [E.random_point(rng) for _ in range(n_tables)]
+    B = ed.to_device(bases)  # leaves (n, n_tables)
+
+    @jax.jit
+    def build_tables(B):
+        def step(acc, _):
+            nxt = ed.add(acc, B)
+            return nxt, nxt
+
+        init = ed.add(B, B)
+        _, tab = jax.lax.scan(step, init, None, length=table_size)
+        return tab
+
+    tab = build_tables(B)
+    nprng = np.random.default_rng(seed)
+    idx = nprng.integers(0, table_size, size=(n_tables, N))
+
+    @jax.jit
+    def combine(tab, idx):
+        def pick(t):
+            sl = jax.tree.map(lambda a: a[:, :, t], tab)
+            return jax.tree.map(lambda a: jnp.take(a, idx[t], axis=0).T, sl)
+
+        acc = pick(0)
+        for t in range(1, n_tables):
+            acc = ed.add(acc, pick(t))
+        return acc
+
+    return combine(tab, jnp.asarray(idx))
+
+
 def random_points_edwards(
     ed: EdwardsOps, N: int, seed: int = 0, oversample: float = 2.5
 ) -> EdwardsBatch:

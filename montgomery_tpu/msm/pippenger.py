@@ -280,7 +280,10 @@ def bucket_accumulate(group, points, digits: jax.Array, c: int,
         loc = jnp.where(b > 0, b - 1, L)
         nb = max((N - 1).bit_length(), 1)
         lb = (L).bit_length()  # loc in [0, L] needs c bits
-        if lb + 1 + nb <= 31:
+        import os as _os
+
+        if (lb + 1 + nb <= 31
+                and _os.environ.get("MSM_PACKED_SORT", "1") == "1"):
             packed = (loc << (nb + 1)) | (idx << 1) | sign
             (packed_s,) = jax.lax.sort((packed,), dimension=1, num_keys=1)
             perm2d = packed_s & ((1 << (nb + 1)) - 1)  # idx<<1 | sign

@@ -34,7 +34,7 @@ def main():
     from montgomery_tpu.bigint import TwistedEdwardsCurve, msm as oracle_msm
     from montgomery_tpu.concrete import ED_ON_BLS12_377
     from montgomery_tpu.curves.edwards import EdwardsBatch
-    from montgomery_tpu.curves.random import random_points_edwards
+    from montgomery_tpu.curves.random import random_points_fast_edwards
     from montgomery_tpu.msm import EdwardsMsm, window_size
 
     log("devices:", jax.devices())
@@ -56,7 +56,7 @@ def main():
         P = EdwardsBatch(*(jnp.asarray(z[k]) for k in ("X", "Y", "Z", "T")))
         log("points loaded from cache in %.1fs" % (time.time() - t0))
     else:
-        P = random_points_edwards(ctx.ed, N, seed=42)
+        P = random_points_fast_edwards(ctx.ed, N, seed=42)
         sync(P)
         os.makedirs(".bench_cache", exist_ok=True)
         np.savez(cache, X=np.asarray(P.X), Y=np.asarray(P.Y),
