@@ -19,11 +19,31 @@ from .edwards import EdwardsBatch, EdwardsOps
 from .projective import AffineBatch, ProjectiveOps
 
 
+def _bijective_table_indices(rng: np.random.Generator, N: int,
+                             n_tables: int, table_size: int) -> np.ndarray:
+    """(n_tables, N) table indices that are COLLISION-FREE by construction:
+    output i uses digit t of i in base table_size, scrambled through a random
+    per-table permutation. Independent uniform draws (the old scheme, and a
+    naive reading of reference curve-random.ts) birthday-collide: 2^20 draws
+    from 256^3 combinations give ~33k duplicate POINTS, which violates the
+    msmUnsafe distinct-points contract — one duplicate pair meeting inside a
+    bucket makes the unsafe chord denominator zero and poisons the shared
+    batch-inversion tree (found as the c=15 full-width failure, round 5)."""
+    assert N <= table_size ** n_tables, "index space too small for N points"
+    perms = [rng.permutation(table_size) for _ in range(n_tables)]
+    i = np.arange(N, dtype=np.int64)
+    out = np.empty((n_tables, N), dtype=np.int64)
+    for t in range(n_tables):
+        out[t] = perms[t][(i // (table_size ** t)) % table_size]
+    return out
+
+
 def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
                        n_tables: int = 3, table_size: int = 256) -> AffineBatch:
     """Fast random subgroup points: each output is the sum of one entry from
     each of `n_tables` multiple-tables of random base points
-    (reference curve-random.ts randomPointsFast :14-92).
+    (reference curve-random.ts randomPointsFast :14-92), with pairwise-
+    DISTINCT outputs guaranteed (see _bijective_table_indices).
 
     Compile-light (one small scan + gathers) — used for benchmarking at
     2^20 scale where the sqrt path's compile cost is not worth paying.
@@ -49,7 +69,7 @@ def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
 
     tab = build_tables(B)
     nprng = np.random.default_rng(seed)
-    idx = nprng.integers(0, table_size, size=(n_tables, N))
+    idx = _bijective_table_indices(nprng, N, n_tables, table_size)
 
     @jax.jit
     def combine(tab, idx):
@@ -64,7 +84,7 @@ def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
             acc = proj.add(acc, pick(t))
         return proj.to_affine(acc)
 
-    return combine(tab, jnp.asarray(idx))
+    return combine(tab, jnp.asarray(idx.astype(np.int32)))
 
 
 def _uniform_field_vals(rng: np.random.Generator, M: int, p: int) -> list[int]:
@@ -108,7 +128,7 @@ def random_points_fast_edwards(ed: EdwardsOps, N: int, seed: int = 0,
 
     tab = build_tables(B)
     nprng = np.random.default_rng(seed)
-    idx = nprng.integers(0, table_size, size=(n_tables, N))
+    idx = _bijective_table_indices(nprng, N, n_tables, table_size)
 
     @jax.jit
     def combine(tab, idx):
@@ -121,7 +141,7 @@ def random_points_fast_edwards(ed: EdwardsOps, N: int, seed: int = 0,
             acc = ed.add(acc, pick(t))
         return acc
 
-    return combine(tab, jnp.asarray(idx))
+    return combine(tab, jnp.asarray(idx.astype(np.int32)))
 
 
 def random_points_edwards(

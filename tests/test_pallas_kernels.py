@@ -130,6 +130,37 @@ def test_pallas_interpret_packed_affine_add(rng):
             assert C.equal(got[i], want), f"unsafe={unsafe} lane {i}"
 
 
+def test_pallas_interpret_packed_edwards_add(rng):
+    """The packed twisted-Edwards add (MSM hot kernel for the TE engine):
+    [X|Y|Z|T] pack16 -> ONE fused inversion-free hwcd add with sign +
+    pass-through planes -> unpack, interpreted, vs the oracle."""
+    from montgomery_tpu.bigint import TwistedEdwardsCurve
+    from montgomery_tpu.concrete import ED_ON_BLS12_377
+    from montgomery_tpu.msm import EdwardsMsm
+
+    E = TwistedEdwardsCurve(ED_ON_BLS12_377)
+    ctx = EdwardsMsm(ED_ON_BLS12_377)
+    N = 6
+    g = [E.scale(rng.randrange(1, 1 << 62), E.generator) for _ in range(N)]
+    h = [E.scale(rng.randrange(1, 1 << 62), E.generator) for _ in range(N)]
+    h[2] = g[2]  # doubling lane (the unified add must handle it)
+    G = ctx.ed.to_device(g)
+    H = ctx.ed.to_device(h)
+    sA = jnp.zeros((1, N), jnp.int32)
+    sB = jnp.asarray(np.array([[0, 1, 0, 1, 0, 0]], dtype=np.int32))
+    hp = jnp.asarray(np.array([[1, 1, 1, 1, 0, 1]], dtype=np.int32))
+    with kernels.force_pallas(True, interpret=True):
+        PR_G = ctx.ed.pack_rows(G)
+        PR_H = ctx.ed.pack_rows(H)
+        out = ctx.ed.add_packed(PR_G, PR_H, sA, sB, hp)
+        res = ctx.ed.unpack_rows(out)
+    got = ctx.ed.to_host(res)
+    for i in range(N):
+        b = E.neg(h[i]) if int(sB[0, i]) else h[i]
+        want = E.add(g[i], b) if int(hp[0, i]) else g[i]
+        assert E.equal(got[i], want), f"lane {i}"
+
+
 def test_callback_mode_matches_inline(fops, rng):
     """Callback mode (pure_callback per formula) must agree with the inline
     path — the fast-compile mode used by the pipeline/sharded tests."""

@@ -35,8 +35,23 @@ def test_random_points_fast_weierstrass():
     for P in host:
         assert C.is_on_curve(P)
     assert C.is_in_subgroup(host[0])
-    # distinct draws should not collide
-    assert len({(P.x, P.y) for P in host}) > 1
+    # ALL outputs pairwise distinct — the msmUnsafe bench contract (a
+    # duplicate pair inside one bucket poisons the unsafe engine's shared
+    # batch inversion; found as the c=15 failure, round 5)
+    assert len({(P.x, P.y) for P in host}) == len(host)
+
+
+def test_fast_point_indices_collision_free():
+    """The table-combination indices must be bijective: independent uniform
+    draws birthday-collide at bench scale (~33k duplicate points at 2^20
+    from 256^3 combinations)."""
+    from montgomery_tpu.curves.random import _bijective_table_indices
+
+    rng = np.random.default_rng(0)
+    idx = _bijective_table_indices(rng, 5000, 3, 256)
+    combos = {tuple(idx[:, i]) for i in range(idx.shape[1])}
+    assert len(combos) == idx.shape[1]
+    assert idx.min() >= 0 and idx.max() < 256
 
 
 def test_random_points_edwards_device():
