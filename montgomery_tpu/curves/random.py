@@ -19,31 +19,30 @@ from .edwards import EdwardsBatch, EdwardsOps
 from .projective import AffineBatch, ProjectiveOps
 
 
-def _bijective_table_indices(rng: np.random.Generator, N: int,
-                             n_tables: int, table_size: int) -> np.ndarray:
-    """(n_tables, N) table indices that are COLLISION-FREE by construction:
-    output i uses digit t of i in base table_size, scrambled through a random
-    per-table permutation. Independent uniform draws (the old scheme, and a
-    naive reading of reference curve-random.ts) birthday-collide: 2^20 draws
-    from 256^3 combinations give ~33k duplicate POINTS, which violates the
-    msmUnsafe distinct-points contract — one duplicate pair meeting inside a
-    bucket makes the unsafe chord denominator zero and poisons the shared
-    batch-inversion tree (found as the c=15 full-width failure, round 5)."""
-    assert N <= table_size ** n_tables, "index space too small for N points"
-    perms = [rng.permutation(table_size) for _ in range(n_tables)]
-    i = np.arange(N, dtype=np.int64)
-    out = np.empty((n_tables, N), dtype=np.int64)
-    for t in range(n_tables):
-        out[t] = perms[t][(i // (table_size ** t)) % table_size]
-    return out
+def _table_indices(rng: np.random.Generator, N: int,
+                   n_tables: int, table_size: int) -> np.ndarray:
+    """(n_tables, N) independent uniform table indices. The combination
+    space table_size^n_tables must be LARGE (the defaults give 72 bits of
+    entropy per point, like the reference's ~K tables x 2^c entries,
+    curve-random.ts:14-92): with a small space (the round-4 3x256 = 24
+    bits), not only do duplicate points birthday-collide (~33k pairs at
+    2^20), but SMALL INTEGER COMBINATIONS of points collide too — two
+    partial sums inside one bucket with equal per-table coefficient vectors
+    are the same curve point, which zeroes the unsafe chord denominator and
+    poisons the shared batch-inversion tree (found as the round-5 c=15 /
+    fresh-2^16 validation failures; a bijective low-entropy enumeration is
+    even worse). At 72 bits both failure modes are < 2^-40."""
+    assert table_size ** n_tables >= (1 << 64), "combination space too small"
+    return rng.integers(0, table_size, size=(n_tables, N))
 
 
 def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
-                       n_tables: int = 3, table_size: int = 256) -> AffineBatch:
+                       n_tables: int = 8, table_size: int = 512) -> AffineBatch:
     """Fast random subgroup points: each output is the sum of one entry from
     each of `n_tables` multiple-tables of random base points
-    (reference curve-random.ts randomPointsFast :14-92), with pairwise-
-    DISTINCT outputs guaranteed (see _bijective_table_indices).
+    (reference curve-random.ts randomPointsFast :14-92) with 72-bit
+    combination entropy (see _table_indices: small spaces break the
+    msmUnsafe contract through colliding partial sums).
 
     Compile-light (one small scan + gathers) — used for benchmarking at
     2^20 scale where the sqrt path's compile cost is not worth paying.
@@ -69,7 +68,7 @@ def random_points_fast(proj: ProjectiveOps, N: int, seed: int = 0,
 
     tab = build_tables(B)
     nprng = np.random.default_rng(seed)
-    idx = _bijective_table_indices(nprng, N, n_tables, table_size)
+    idx = _table_indices(nprng, N, n_tables, table_size)
 
     @jax.jit
     def combine(tab, idx):
@@ -101,12 +100,13 @@ def _uniform_field_vals(rng: np.random.Generator, M: int, p: int) -> list[int]:
 
 
 def random_points_fast_edwards(ed: EdwardsOps, N: int, seed: int = 0,
-                               n_tables: int = 3,
-                               table_size: int = 256) -> EdwardsBatch:
+                               n_tables: int = 8,
+                               table_size: int = 512) -> EdwardsBatch:
     """Fast random TE subgroup points (reference curve-random.ts
     randomPointsFast analog for the Edwards path): each output is the sum of
     one entry from each of `n_tables` multiple-tables of host-generated base
-    points. Compile-light (no sqrt kernels) — used for benchmarking."""
+    points (72-bit combination entropy — see _table_indices).
+    Compile-light (no sqrt kernels) — used for benchmarking."""
     import random as pyrandom
 
     from ..bigint.twisted_edwards import TwistedEdwardsCurve
@@ -128,7 +128,7 @@ def random_points_fast_edwards(ed: EdwardsOps, N: int, seed: int = 0,
 
     tab = build_tables(B)
     nprng = np.random.default_rng(seed)
-    idx = _bijective_table_indices(nprng, N, n_tables, table_size)
+    idx = _table_indices(nprng, N, n_tables, table_size)
 
     @jax.jit
     def combine(tab, idx):

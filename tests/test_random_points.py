@@ -41,17 +41,21 @@ def test_random_points_fast_weierstrass():
     assert len({(P.x, P.y) for P in host}) == len(host)
 
 
-def test_fast_point_indices_collision_free():
-    """The table-combination indices must be bijective: independent uniform
-    draws birthday-collide at bench scale (~33k duplicate points at 2^20
-    from 256^3 combinations)."""
-    from montgomery_tpu.curves.random import _bijective_table_indices
+def test_fast_point_index_entropy():
+    """The table-combination space must be large enough that duplicate
+    points AND colliding small integer combinations are negligible (the
+    msmUnsafe bench contract): >= 64 bits, and no duplicate draws in a
+    sample."""
+    from montgomery_tpu.curves.random import _table_indices
 
     rng = np.random.default_rng(0)
-    idx = _bijective_table_indices(rng, 5000, 3, 256)
+    idx = _table_indices(rng, 5000, 8, 512)
     combos = {tuple(idx[:, i]) for i in range(idx.shape[1])}
     assert len(combos) == idx.shape[1]
-    assert idx.min() >= 0 and idx.max() < 256
+    import pytest
+
+    with pytest.raises(AssertionError):
+        _table_indices(rng, 16, 3, 256)  # 24-bit space must be rejected
 
 
 def test_random_points_edwards_device():
