@@ -34,13 +34,14 @@ def window_size(field_bits: int, log2_n: int) -> int:
     """Window size table (re-tuned analog of reference msm-common.ts:8-41;
     formula fallback max(log2_n - 1, 1)).
 
-    Provenance: TPU v5e sweep at 2^16 (.logs/c_sweep_r4.log): c=10 138.8,
-    c=11 135.8, c=12 136.2, c=13 138.5 ms; c>=14 pays the two-array sort
-    (the packed single-key sort needs (L).bit_length()+1+log2(2N) <= 31).
-    Larger N shift the optimum up only when the halved window count wins
-    back the doubled reduction + slower sort — entries at unmeasured sizes
-    interpolate that rule; re-measure when hardware changes (the reference
-    tuned its table the same way, msm-common.ts:21)."""
+    Provenance: TPU v5e sweeps. 2^16 (.logs/c_sweep_r4.log): c=10 138.8,
+    c=11 135.8, c=12 136.2, c=13 138.5 ms. 2^20 with the 8-way super-round
+    (.logs/c_sweep_r5.log, .logs/bench_r5_fresh3.log): c=13 1.887 s,
+    c=14 2.054 s, c=15 2.009 s — GLV leaves ~129 scalar bits, so K stays
+    10 for c in {13,14} (c=14 buys nothing) and the K=9 saving at c=15
+    loses to the 4x bucket space. Entries at unmeasured sizes interpolate;
+    re-measure when hardware changes (the reference tuned its table the
+    same way, msm-common.ts:21)."""
     table = {
         10: 9, 11: 9, 12: 10, 13: 10, 14: 11, 15: 11,
         16: 11, 17: 12, 18: 12, 19: 13, 20: 13, 21: 14,

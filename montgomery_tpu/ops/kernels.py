@@ -223,6 +223,7 @@ def pallas_map(fn, name: str, inputs: list, out_rows: list[int]):
 
 
 _CB_JIT_CACHE: dict = {}
+_CB_RUN_LOCK = threading.Lock()
 
 
 def _callback_jit(formula, in_rows: tuple, n_pad: int):
@@ -289,20 +290,29 @@ def _callback_apply(formula, inputs: list, out_rows: list[int]):
 
     def host_fn(*args, _fn=fn, _N=N, _n_pad=n_pad,
                 _in_rows=in_rows, _out_rows=tuple(out_rows), _batch=batch):
-        _TLS.in_kernel = True  # nested fused() calls must run inline
-        try:
-            flat = [np.asarray(a).reshape(r, _N) for a, r in zip(args, _in_rows)]
-            if _n_pad != _N:
-                flat = [
-                    np.pad(a, ((0, 0), (0, _n_pad - _N))) for a in flat
-                ]
-            out = _fn(*[jnp.asarray(a) for a in flat])
-            return tuple(
-                np.asarray(o)[:, :_N].reshape(r, *_batch)
-                for o, r in zip(out, _out_rows)
-            )
-        finally:
-            _TLS.in_kernel = False
+        # _CB_RUN_LOCK: under a MULTI-DEVICE CPU mesh (shard_map dryruns /
+        # tests) the runtime invokes callbacks concurrently from several
+        # partition threads; concurrent entry into the CPU client from
+        # callback threads intermittently DEADLOCKS the execution (observed
+        # as a hung dryrun with zero CPU progress). Serializing the callback
+        # bodies costs nothing single-device and makes the mesh runs
+        # deterministic.
+        with _CB_RUN_LOCK:
+            _TLS.in_kernel = True  # nested fused() calls must run inline
+            try:
+                flat = [np.asarray(a).reshape(r, _N)
+                        for a, r in zip(args, _in_rows)]
+                if _n_pad != _N:
+                    flat = [
+                        np.pad(a, ((0, 0), (0, _n_pad - _N))) for a in flat
+                    ]
+                out = _fn(*[jnp.asarray(a) for a in flat])
+                return tuple(
+                    np.asarray(o)[:, :_N].reshape(r, *_batch)
+                    for o, r in zip(out, _out_rows)
+                )
+            finally:
+                _TLS.in_kernel = False
 
     res = jax.pure_callback(host_fn, result_shapes, *inputs)
     return list(res)
