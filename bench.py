@@ -42,7 +42,9 @@ def main():
     from montgomery_tpu.msm import WeierstrassMsm, msm_digits, window_size
     from montgomery_tpu.scalar.slicing import num_windows
 
-    log2n = int(os.environ.get("MSM_LOG2N", "16"))
+    # default 2^20: BASELINE.json's primary metric is BLS12-377 MSM ops/s at
+    # 2^20 points (MSM_LOG2N=16 for the 122 ms-bar configuration)
+    log2n = int(os.environ.get("MSM_LOG2N", "20"))
     N = 1 << log2n
     w_env = int(os.environ.get("MSM_W", "0"))
     ctx = WeierstrassMsm(BLS12_377, w=w_env) if w_env else WeierstrassMsm(BLS12_377)
