@@ -222,6 +222,11 @@ def pallas_map(fn, name: str, inputs: list, out_rows: list[int]):
     return outs
 
 
+# AOT-compiled callback executables, keyed (formula, in_rows, n_pad).
+# Boundedness (round-4 advisor item): formula objects are bound methods of
+# MEMOIZED ops instances (utils/memo.py + create_field_ops memoization), so
+# the key space is one entry set per distinct (field/curve config, shape) —
+# not per constructed instance as before.
 _CB_JIT_CACHE: dict = {}
 _CB_RUN_LOCK = threading.Lock()
 
