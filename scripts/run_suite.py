@@ -23,8 +23,8 @@ BATCHES = [
      "tests/test_divstep.py", "tests/test_glv.py",
      "tests/test_scalar_device.py"],
     ["tests/test_field_ops.py"],
-    ["tests/test_curve_ops.py", "tests/test_pallas_kernels.py",
-     "tests/test_random_points.py", "tests/test_negative.py"],
+    ["tests/test_curve_ops.py", "tests/test_pallas_kernels.py"],
+    ["tests/test_random_points.py", "tests/test_negative.py"],
     ["tests/test_msm.py", "tests/test_msm_production.py",
      "tests/test_grid_combine.py", "tests/test_sharded.py",
      "tests/test_serve.py"],
